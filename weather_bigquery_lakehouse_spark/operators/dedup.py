@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is built-in-function composition (md5/sha2, array ops,
+hash aggregates, self-joins) — no Python in the hot path. Shuffle shape at
+100 TB, per operator:
+
+  exact        — one hash aggregate keyed on a 32-byte digest (narrow
+                 shuffle key even for multi-MB documents).
+  MinHash+LSH  — per-row array math (no shuffle) → one groupBy per doc for
+                 the signature → self-join keyed on (band_idx, band_hash):
+                 the join key is a hash bucket, so co-candidates co-locate
+                 and the join degenerates to within-bucket pairs. Bucket
+                 skew (a viral duplicate cluster) is the known hot spot —
+                 AQE skew-join handles it; cap pair expansion per bucket
+                 upstream if needed.
+  SimHash      — pure per-doc aggregation (token explode → one groupBy);
+                 near-dup lookup is then a cheap equality/Hamming probe.
+  n-gram Jaccard — exact pairwise verification; self-join on shingle hash.
+                 Quadratic in cluster size by nature: at scale run it ONLY
+                 on LSH candidate pairs, never all-pairs (the composition
+                 `lsh_candidate_pairs` → `ngram_jaccard_pairs(candidates)`
+                 is the intended 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, tokens_expr
+
+# MinHash configuration shared with the oracle SQL in plans/queries.py.
+N_HASHES = 16
+BAND_ROWS = 2  # 8 bands of 2 rows
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content digest: groups keyed by sha256 of the
+    normalized text, keeping the min id as the canonical representative.
+    One aggregate, shuffle key = digest (32 bytes) regardless of doc size."""
+    digest = F.sha2(F.trim(F.col(text_col)), 256)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(digest.alias("text_sha"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_expr(shingle: Column, seed: int) -> Column:
+    """One MinHash family member: md5 over the seed-tagged shingle. Min of
+    a hex digest is a valid uniform min-hash (lexicographic order on hex
+    == numeric order on the digest)."""
+    return F.md5(F.concat_ws("#", shingle, F.lit(str(seed))))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: columns h0..h{n-1}, each the min over the
+    doc's distinct word-3-gram shingles of a seeded md5.
+
+    Shape: per-row shingle explode → ONE groupBy(doc) computing all n mins
+    (map-side partial aggregation makes the shuffle carry just n×32-byte
+    partial mins per doc, not the shingles)."""
+    sh = F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col)))).alias("shingle")
+    exploded = df.select(F.col(id_col), sh)
+    aggs = [
+        F.min(_minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Signature is split into n/band_rows bands; docs sharing any band hash
+    become a candidate pair. The self-join keys on (band_idx, band_hash),
+    so the shuffle routes each doc to exactly n_bands buckets."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-k-gram sets for doc pairs.
+
+    Without ``candidates``: all pairs sharing ≥1 shingle (self-join on the
+    shingle — exact but quadratic in cluster size). With ``candidates``
+    (doc_a, doc_b — e.g. from LSH): verification only. Output columns:
+    doc_a, doc_b, jaccard (exact rational → double, engine-portable)."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col)))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Frequency-weighted SimHash over tokens: each token contributes ±1
+    per bit position of its 60-bit md5-derived hash; sign of the column sum
+    sets the output bit. One explode + one groupBy(doc) with `bits` sums.
+
+    Near-dup lookup downstream is then equality (or small-radius Hamming
+    probing by flipping bits) — no pairwise scan."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    )
+    # 60-bit integer from the md5 hex prefix — portable across engines.
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+    tok = tok.select(id_col, h.alias("h"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    value = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        value = bit if value is None else (value + bit)
+    return sums.select(F.col(id_col), value.cast("bigint").alias("simhash"))

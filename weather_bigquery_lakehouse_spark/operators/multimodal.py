@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB of images/audio/video:
+  * the payload is a `binary` column next to a metadata struct — Spark
+    shuffles/spills binary columns fine, and parquet stores them chunked;
+  * decode / feature-extract / resize / frame-sample run as Arrow-batched
+    `mapInPandas` stages (one Python worker per partition, zero-copy
+    batches) — NEVER row-at-a-time UDFs;
+  * real codecs (PIL/ffmpeg/torchaudio) are not in this container, so the
+    decode body is STUBBED: `decode_image_stub` raises NotImplementedError
+    unless `fake=True`, which substitutes a deterministic header parse so
+    the Spark-side plumbing (schema, batching, partitioning) is testable.
+
+The Spark-side shape — schema in/out, `mapInPandas` signature, batch
+iteration — is the real, production-shaped part.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, payload_col: str, mime: str, id_col: str | None = None
+) -> DataFrame:
+    """Wrap an existing binary column into the engine's media layout
+    (payload + typed metadata struct). ``id_col`` keeps a caller-supplied
+    stable id; the fallback `monotonically_increasing_id` is partition-
+    dependent and therefore NOT reproducible across different layouts."""
+    media_id = (
+        F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()
+    )
+    return df.select(
+        media_id.alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Image decode. Real implementation needs an image codec (PIL/opencv),
+    absent in this container — STUB. `fake=True` derives deterministic
+    dimensions from the payload bytes so pipelines are testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library (e.g. PIL); "
+            "run with fake=True for the deterministic test double"
+        )
+    # Deterministic fake: dimensions from the first payload bytes.
+    w = 64 + (payload[0] if payload else 0)
+    h = 64 + (payload[1] if len(payload) > 1 else 0)
+    return w, h
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode stage over the media layout → typed features.
+
+    `mapInPandas` keeps partitioning intact (no shuffle) and moves data
+    Python-side one Arrow batch at a time; output schema is pinned."""
+    import hashlib
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image_stub(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "checksum": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling shape for video payloads: emits one row per sampled
+    "frame" offset (deterministic stride over the payload — stands in for
+    keyframe extraction, which needs ffmpeg). Demonstrates the
+    row-multiplying `mapInPandas` stage with bounded output batches."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    rows.append((media_id, i, off))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset"])
+
+    return df.mapInPandas(_sample, schema=out_schema)

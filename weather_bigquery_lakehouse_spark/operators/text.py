@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side built-ins — no Python UDFs anywhere in this module, so every
+operator rides whole-stage codegen and scales linearly with executors.
+Canonical tokenization (shared with dedup.py so signatures agree):
+``lower → trim → split on \\s+ → drop empties``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for heuristic language ID. Chosen for
+# determinism, not linguistic completeness — the operator contract is
+# "same text → same label", which is what a 100 TB corpus filter needs.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+}
+LANG_ORDER = ["en", "fr", "es", "de"]  # deterministic tie-break order
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """lower/trim/whitespace-split token array, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.filter(raw, lambda t: t != F.lit(""))
+
+
+def shingles_expr(tokens: Column, k: int = 3) -> Column:
+    """Word k-gram array from a token array (empty when < k tokens)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(k)])
+    return F.when(F.size(tokens) >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + a chars/4 BPE-style estimate
+    (the standard "1 token ≈ 4 chars" heuristic, exact-integer math)."""
+    toks = tokens_expr(text_col)
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.ceil(F.length(F.trim(F.col(text_col))) / F.lit(4)).alias("n_tokens_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality signals: token count, mean token length, punctuation ratio,
+    stopword ratio, and a composite score — all exact-integer-derived
+    doubles so the arithmetic is engine-portable."""
+    toks = tokens_expr(text_col)
+    text = F.trim(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    token_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    mean_tok_len = token_chars.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.when(n_tokens >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when((punct_ratio) < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return df.where(n_tokens > 0).select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic n-gram/stopword language ID: per-language stopword hit
+    ratio, argmax with fixed tie-break order, 'und' when nothing hits."""
+    toks = tokens_expr(text_col)
+    df = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") > 0)
+    ratios = {
+        lang: (
+            F.size(F.filter(F.col("__toks"), lambda t: t.isin(words))).cast("double")
+            / F.size("__toks")
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*[ratios[lang] for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first max wins — deterministic
+        pred = pred.when(ratios[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best, 4).alias("confidence"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Document fingerprint: min word-k-gram md5 (a 1-seed MinHash — the
+    rolling-hash/winnowing family reduced to its cheapest deterministic
+    member) + distinct shingle count. Array ops per row, no shuffle."""
+    toks = tokens_expr(text_col)
+    sh = F.array_distinct(shingles_expr(toks, k))
+    hashed = F.transform(sh, F.md5)
+    return df.where(F.size(toks) >= k).select(
+        F.col(id_col),
+        F.array_min(hashed).alias("fingerprint"),
+        F.size(sh).cast("bigint").alias("n_shingles"),
+    )

@@ -1,0 +1,503 @@
+"""The oracle-checked query registry.
+
+One entry per operator family from SURVEY.md §2 plus the training-data
+extension operators. Each ``QuerySpec`` pairs a Spark callable
+``(spark, sf_dir) -> DataFrame`` with the ANSI-SQL string DuckDB runs on
+the same parquet tables for the driver's correctness gate.
+
+Engine-parity rules used throughout (so value hashes match):
+  * money/double sums go through DECIMAL(18,2) (exact) and are cast to
+    DOUBLE only at the end — both engines produce the identical double;
+  * similarity/ratio doubles are ``round(x, 4..6)`` in BOTH engines;
+  * every computed column is aliased identically on both sides;
+  * integer-ish computed columns are cast to BIGINT (Spark INT vs DuckDB
+    BIGINT would be a schema mismatch);
+  * hashing parity: Spark ``sha2(x,256)`` ≡ DuckDB ``sha256(x)``;
+    ``md5`` ≡ ``md5``; ``concat_ws`` skips NULLs in both.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import load_testdata
+from ..functions.dates import parse_date_multi
+from ..functions.cleaning import drop_null_rows, trim_strings, dedupe_rows
+from ..functions.profiling import consistency_violations, profile, distinct_counts
+from ..functions.keys import composite_key, surrogate_key
+from ..operators.star_schema import build_dim_conformed, build_dim_distinct, build_fact
+from ..operators import dedup as dd
+from ..operators import text as tx
+from ..operators import similarity as sim
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, tables)
+
+
+# --------------------------------------------------------------------------
+# Reference surface — scans, projections, filters (S4/S5, P1, P7, P8)
+# --------------------------------------------------------------------------
+
+_SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc_price
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_discount > 0.05
+"""
+
+
+@_register(
+    "filter_project_pushdown",
+    _SQL_FILTER_PROJECT,
+    "P1/P7/P8: projection + predicate, both pushed into the parquet scan",
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _views(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") > 0.05)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("disc_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: full star-schema query (J1/J2 shape + A1-A6 aggregates)
+# --------------------------------------------------------------------------
+
+_SQL_FLAGSHIP = """
+SELECT r_name,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(CAST(o_orderdate AS DATE)) AS first_order,
+       MAX(CAST(o_orderdate AS DATE)) AS last_order
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@_register(
+    "flagship_star_revenue",
+    _SQL_FLAGSHIP,
+    "orders ⋈ customer ⋈ nation ⋈ region, revenue rollup per region; "
+    "broadcast dims, shuffle only on the orders⋈customer key",
+)
+def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _views(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    o, c, n, r = t["orders"], t["customer"], t["nation"], t["region"]
+    enriched = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return enriched.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Star-schema builders (A2 distinct dims, J1 conformed dim, J2 fact,
+# F6/F7/F8 sha2 surrogate-key contract)
+# --------------------------------------------------------------------------
+
+_SQL_DIM_DATE = """
+SELECT sha256(CAST(order_date AS VARCHAR)) AS id_date, order_date
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+"""
+
+
+@_register(
+    "dim_date_distinct",
+    _SQL_DIM_DATE,
+    "A2+F6/F8: distinct-projection dim with sha2 surrogate key "
+    "(reference silver_to_gold.py:108-125 shape)",
+)
+def dim_date_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _views(spark, sf_dir, ["orders"])["orders"]
+    base = o.select(F.col("o_orderdate").cast("date").alias("order_date"))
+    return build_dim_distinct(base, ["order_date"], "id_date")
+
+
+_SQL_DIM_CONFORMED = """
+SELECT sha256(concat_ws(':', CAST(c_custkey AS VARCHAR), CAST(n_nationkey AS VARCHAR)))
+           AS id_customer,
+       c_custkey,
+       COALESCE(n_name, 'UNKNOWN') AS nation_name,
+       c_mktsegment
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@_register(
+    "dim_conformed_customer",
+    _SQL_DIM_CONFORMED,
+    "J1+F1+F6/F7: conformed dim via inner equi-join + coalesce + composite "
+    "sha2 key (reference dim_city, silver_to_gold.py:85-101)",
+)
+def dim_conformed_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _views(spark, sf_dir, ["customer", "nation"])
+    c, n = t["customer"], t["nation"]
+    return build_dim_conformed(
+        c,
+        n,
+        c.c_nationkey == n.n_nationkey,
+        key_name="id_customer",
+        key_cols=["c_custkey", "n_nationkey"],
+        select_cols=[
+            F.col("c_custkey"),
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_name"),
+            F.col("c_mktsegment"),
+        ],
+    )
+
+
+_SQL_FACT_ORDERS = """
+WITH fk AS (
+  SELECT sha256(CAST(o_custkey AS VARCHAR)) AS id_customer,
+         sha256(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS id_order_date,
+         o_orderkey, o_totalprice, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT sha256(concat_ws('_', id_customer, id_order_date)) AS id_fact,
+       id_customer, id_order_date, o_orderkey, o_totalprice, c_mktsegment
+FROM fk
+"""
+
+
+@_register(
+    "fact_orders_keys",
+    _SQL_FACT_ORDERS,
+    "J2+F6/F7: fact with RECOMPUTED sha2 FKs (not join-propagated) + "
+    "composite id_fact (reference fact_weather, silver_to_gold.py:144-195)",
+)
+def fact_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _views(spark, sf_dir, ["orders", "customer"])
+    o, c = t["orders"], t["customer"]
+    fk_exprs = {
+        "id_customer": surrogate_key("o_custkey"),
+        "id_order_date": surrogate_key(F.col("o_orderdate").cast("date")),
+    }
+    return build_fact(
+        o,
+        dim_joins=[(c, o.o_custkey == c.c_custkey)],
+        fk_exprs=fk_exprs,
+        fact_key_name="id_fact",
+        fact_key_cols=[fk_exprs["id_customer"], fk_exprs["id_order_date"]],
+        measures=[F.col("o_orderkey"), F.col("o_totalprice"), F.col("c_mktsegment")],
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality operators (A1 consistency, A3/A4 profiling, P5/P6/A5 cleaning)
+# --------------------------------------------------------------------------
+
+_SQL_CONSISTENCY = """
+SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS unique_ids
+FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) <> 1
+"""
+
+
+@_register(
+    "consistency_check",
+    _SQL_CONSISTENCY,
+    "A1: groupBy + countDistinct + ≠1 filter "
+    "(reference bronze_to_silver.py:118-131)",
+)
+def consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _views(spark, sf_dir, ["orders"])["orders"]
+    return consistency_violations(o, "o_custkey", "o_orderkey")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
+_SQL_PROFILE = "SELECT " + ", ".join(
+    f"COUNT({c}) AS count_{c}, COUNT(DISTINCT {c}) AS distinct_{c}, "
+    f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}"
+    for c in _PROFILE_COLS
+) + " FROM lineitem"
+
+
+@_register(
+    "profile_lineitem",
+    _SQL_PROFILE,
+    "A4: count/distinct/min/max for every column in ONE aggregate job "
+    "(replaces the reference's per-column job loop, data_profiling.py:10-22)",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _views(spark, sf_dir, ["lineitem"])["lineitem"]
+    return profile(li, _PROFILE_COLS)
+
+
+_DISTINCT_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+_SQL_DISTINCT_COUNTS = "SELECT " + ", ".join(
+    f"COUNT(DISTINCT {c}) AS distinct_{c}" for c in _DISTINCT_COLS
+) + " FROM orders"
+
+
+@_register(
+    "distinct_counts_orders",
+    _SQL_DISTINCT_COUNTS,
+    "A3: per-column distinct counts in one pass (data_profiling.py:1-8)",
+)
+def distinct_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _views(spark, sf_dir, ["orders"])["orders"]
+    return distinct_counts(o, _DISTINCT_COLS)
+
+
+_SQL_CLEAN = """
+SELECT DISTINCT TRIM(lang) AS lang, TRIM(source) AS source
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+  AND source IS NOT NULL AND n_chars IS NOT NULL
+"""
+
+
+@_register(
+    "clean_trim_dedup",
+    _SQL_CLEAN,
+    "P5+P6+A5: null-row filter → trim → dedup as ONE lazy transform chain "
+    "(reference data_cleaning.py runs eager counts per column)",
+)
+def clean_trim_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    cleaned = trim_strings(drop_null_rows(docs)).select("lang", "source")
+    return dedupe_rows(cleaned)
+
+
+# --------------------------------------------------------------------------
+# Date parsing (F1/F2 multi-format coalesce chain)
+# --------------------------------------------------------------------------
+
+_SQL_PARSE_DATES = """
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+           ELSE strftime(o_orderdate, '%m-%d-%Y')
+         END AS raw_date
+  FROM orders
+)
+SELECT o_orderkey, raw_date,
+       CAST(COALESCE(try_strptime(raw_date, '%Y-%m-%d'),
+                     try_strptime(raw_date, '%d/%m/%Y'),
+                     try_strptime(raw_date, '%m-%d-%Y')) AS DATE) AS parsed_date
+FROM raw
+"""
+
+
+@_register(
+    "parse_dates_multiformat",
+    _SQL_PARSE_DATES,
+    "F1/F2: first-match-wins multi-format date parse "
+    "(reference bronze_to_silver.py:43-50; format order is the contract)",
+)
+def parse_dates_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _views(spark, sf_dir, ["orders"])["orders"]
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "MM-dd-yyyy"))
+    )
+    base = o.select("o_orderkey", raw.alias("raw_date"))
+    return base.withColumn("parsed_date", parse_date_multi("raw_date"))
+
+
+# --------------------------------------------------------------------------
+# Latest-snapshot read (A8 scalar subquery) — SQL front door
+# --------------------------------------------------------------------------
+
+_SQL_LATEST_SNAPSHOT = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE CAST(o_orderdate AS DATE) =
+      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+"""
+
+
+@_register(
+    "latest_snapshot",
+    _SQL_LATEST_SNAPSHOT,
+    "A8: latest-snapshot scalar subquery (reference bigquery.py:77-85); "
+    "Catalyst decorrelates + broadcasts the 1-row max",
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL_LATEST_SNAPSHOT)
+
+
+# --------------------------------------------------------------------------
+# Query surface beyond the reference: windows, rollup, set ops, pivot, JSON
+# (absent in the reference — SURVEY.md §2.5 — but expected of the engine)
+# --------------------------------------------------------------------------
+
+_SQL_TOPK = """
+WITH ranked AS (
+  SELECT r_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY r_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@_register(
+    "topk_customers_per_region",
+    _SQL_TOPK,
+    "window top-k per group: row_number over (partition, order) ≤ k",
+)
+def topk_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["customer", "nation", "region"])
+    return spark.sql(_SQL_TOPK)
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@_register(
+    "rollup_pricing_summary",
+    _SQL_ROLLUP,
+    "grouping-set rollup over the TPC-H Q1 pricing aggregates "
+    "(exact decimal arithmetic, cast to double at the end)",
+)
+def rollup_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_SQL_ROLLUP)
+
+
+_SQL_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+@_register(
+    "except_customers_without_orders",
+    _SQL_EXCEPT,
+    "set op: EXCEPT (distinct) — customers that never ordered",
+)
+def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_EXCEPT)
+
+
+_PIVOT_STATUSES = ["O", "F", "P"]
+_SQL_PIVOT = "SELECT o_orderpriority, " + ", ".join(
+    f'COUNT(*) FILTER (WHERE o_orderstatus = \'{s}\') AS "n_{s}"'
+    for s in _PIVOT_STATUSES
+) + " FROM orders GROUP BY o_orderpriority"
+
+
+@_register(
+    "pivot_order_status",
+    _SQL_PIVOT,
+    "pivot: order counts by status per priority (explicit value list so "
+    "the plan needs no extra distinct pass)",
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _views(spark, sf_dir, ["orders"])["orders"]
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES],
+    )
+
+
+_SQL_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+@_register(
+    "json_extract_events",
+    _SQL_JSON,
+    "semi-structured access: JSON path extraction from a string column "
+    "(the reference flattens nested JSON at ingest — F12)",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _views(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+_SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+@_register(
+    "hourly_events_rollup",
+    _SQL_HOURLY,
+    "time-bucketed aggregation (batch twin of the streaming tumbling window)",
+)
+def hourly_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _views(spark, sf_dir, ["events"])["events"]
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
