@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query materializes fully via the `noop` sink (no driver collect, no
+result truncation — the honest cost of computing the whole answer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_bigquery_lakehouse_spark.session import build_session
+from weather_bigquery_lakehouse_spark.plans import QUERIES
+
+# Headline set: the flagship star query + one representative per operator
+# family. (Correctness for the rest is the oracle gate's job; the bench
+# tracks the plans whose scale behavior matters.)
+HEADLINE = [
+    "flagship_star_revenue",
+    "filter_project_pushdown",
+    "rollup_pricing_summary",
+    "topk_customers_per_region",
+    "fact_orders_keys",
+    "latest_snapshot",
+    "hourly_events_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = build_session(app_name="wbl_bench")
+
+    # Warm up the JVM paths every query shares (codegen, parquet reader,
+    # shuffle machinery, broadcast) so timings reflect steady-state cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop-materialized",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,22 @@ from pyspark.sql import functions as F
 
 from .text import shingles_expr, tokens_expr
 
-# MinHash configuration shared with the oracle SQL in plans/queries.py.
+# MinHash configuration shared with the oracle SQL in plans/extensions.py.
 N_HASHES = 16
 BAND_ROWS = 2  # 8 bands of 2 rows
+
+# Universal-hash family over the Mersenne prime 2^31-1: one md5→int
+# conversion per shingle, then each family member is (a·h + b) mod P —
+# pure 64-bit arithmetic (h < P, a,b < P ⇒ a·h+b < 2^62, no overflow),
+# portable verbatim to the DuckDB oracle. 16× cheaper than hashing the
+# shingle 16 times.
+MINHASH_P = 2_147_483_647
+import random as _random
+
+_rng = _random.Random(20240513)
+MINHASH_AB = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(N_HASHES)
+]
 
 
 def exact_dedup_groups(
@@ -48,27 +61,52 @@ def exact_dedup_groups(
     )
 
 
-def _minhash_expr(shingle: Column, seed: int) -> Column:
-    """One MinHash family member: md5 over the seed-tagged shingle. Min of
-    a hex digest is a valid uniform min-hash (lexicographic order on hex
-    == numeric order on the digest)."""
-    return F.md5(F.concat_ws("#", shingle, F.lit(str(seed))))
+def shingle_int_expr(shingle: Column) -> Column:
+    """60-bit integer hash of a shingle (md5 hex prefix), reduced mod P."""
+    h = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+    return h % MINHASH_P
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle) rows with per-doc-distinct shingles.
+
+    Two deliberate plan choices:
+      * the token array is MATERIALIZED in its own projection before the
+        shingle transform — element_at inside a higher-order function is
+        not common-subexpression-eliminated, so inlining the tokenizer
+        would re-run the regex split per index (O(tokens²));
+      * the input is hash-repartitioned by doc id up front: it spreads the
+        CPU-bound shingling across all cores even when the source is a
+        single file, balances long-document skew, and the downstream
+        groupBy(doc_id) reuses the partitioning instead of adding its own
+        shuffle — net shuffle count unchanged, the moved bytes are the
+        compact pre-explode text."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("__toks")))).alias("shingle"),
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_HASHES
 ) -> DataFrame:
     """Per-doc MinHash signature: columns h0..h{n-1}, each the min over the
-    doc's distinct word-3-gram shingles of a seeded md5.
+    doc's distinct word-3-gram shingles of one universal-hash family member
+    ((a·h + b) mod P over the md5-derived shingle int).
 
     Shape: per-row shingle explode → ONE groupBy(doc) computing all n mins
-    (map-side partial aggregation makes the shuffle carry just n×32-byte
-    partial mins per doc, not the shingles)."""
-    sh = F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col)))).alias("shingle")
-    exploded = df.select(F.col(id_col), sh)
+    (map-side partial aggregation makes the shuffle carry just n longs per
+    doc, not the shingles)."""
+    exploded = _doc_shingles(df, text_col, id_col).select(
+        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
+    )
     aggs = [
-        F.min(_minhash_expr(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(n_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -100,8 +138,14 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
+    # Cache: the self-join below references this frame twice; without the
+    # cache Spark recomputes the whole tokenize→shingle→signature lineage
+    # for each side. The cached frame is tiny (n_bands rows × ~40 B/doc).
+    # At warehouse scale this is a persisted signature table instead.
+    banded = (
+        sig.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        .cache()
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -130,12 +174,8 @@ def ngram_jaccard_pairs(
     shingle — exact but quadratic in cluster size). With ``candidates``
     (doc_a, doc_b — e.g. from LSH): verification only. Output columns:
     doc_a, doc_b, jaccard (exact rational → double, engine-portable)."""
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col)))).alias("shingle"),
-        )
-    )
+    # Cached: referenced three times below (sizes + both join sides).
+    sh = _doc_shingles(df, text_col, id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -110,11 +110,15 @@ def fingerprint(
     """Document fingerprint: min word-k-gram md5 (a 1-seed MinHash — the
     rolling-hash/winnowing family reduced to its cheapest deterministic
     member) + distinct shingle count. Array ops per row, no shuffle."""
-    toks = tokens_expr(text_col)
-    sh = F.array_distinct(shingles_expr(toks, k))
-    hashed = F.transform(sh, F.md5)
-    return df.where(F.size(toks) >= k).select(
+    # Materialize tokens, then shingles, in separate projections: repeated
+    # references inside higher-order functions are not CSE'd, so inlining
+    # would re-run the tokenizer per array index.
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    sh = toks.where(F.size("__toks") >= k).select(
+        F.col(id_col), F.array_distinct(shingles_expr(F.col("__toks"), k)).alias("__sh")
+    )
+    return sh.select(
         F.col(id_col),
-        F.array_min(hashed).alias("fingerprint"),
-        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fingerprint"),
+        F.size("__sh").cast("bigint").alias("n_shingles"),
     )
