@@ -1,0 +1,132 @@
+"""Unit tests: key derivation, date parsing, cleaning, profiling, flatten.
+
+These encode the reference's behavioral contracts (SURVEY.md §2.6/§5):
+sha2/concat_ws null semantics, to_date format order, typed null handling,
+trim/dedup equivalence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from weather_bigquery_lakehouse_spark.functions import (
+    composite_key,
+    consistency_violations,
+    dedupe_rows,
+    drop_null_rows,
+    flatten_structs,
+    normalize_names,
+    parse_date_multi,
+    profile,
+    surrogate_key,
+    trim_strings,
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+class TestKeys:
+    def test_surrogate_key_matches_sha256(self, spark):
+        df = spark.createDataFrame([("hello",)], ["x"])
+        assert df.select(surrogate_key("x").alias("k")).first()["k"] == _sha("hello")
+
+    def test_surrogate_key_null_gives_null(self, spark):
+        df = spark.createDataFrame([Row(x=None)], schema="x string")
+        assert df.select(surrogate_key("x").alias("k")).first()["k"] is None
+
+    def test_composite_key_skips_nulls(self, spark):
+        # concat_ws null-skipping is part of the reference contract
+        # (silver_to_gold.py:98-101): (a, NULL, c) hashes like (a, c).
+        df = spark.createDataFrame([Row(a="a", b=None, c="c")], "a string, b string, c string")
+        key = df.select(composite_key("a", "b", "c").alias("k")).first()["k"]
+        assert key == _sha("a:c")
+
+    def test_composite_key_casts_non_strings(self, spark):
+        df = spark.createDataFrame([(1, 2)], ["a", "b"])
+        assert df.select(composite_key("a", "b").alias("k")).first()["k"] == _sha("1:2")
+
+
+class TestDates:
+    def test_format_order_first_match_wins(self, spark):
+        rows = [("2024-03-25",), ("25/03/2024",), ("03-25-2024",), ("garbage",), (None,)]
+        df = spark.createDataFrame(rows, "s string")
+        out = [r["d"] and str(r["d"]) for r in df.select(parse_date_multi("s").alias("d")).collect()]
+        assert out == ["2024-03-25", "2024-03-25", "2024-03-25", None, None]
+
+    def test_ambiguous_rejected_by_earlier_formats(self, spark):
+        # '11-04-2024' must parse as MM-dd-yyyy (Nov 4), never dd/MM or ISO.
+        df = spark.createDataFrame([("11-04-2024",)], "s string")
+        assert str(df.select(parse_date_multi("s").alias("d")).first()["d"]) == "2024-11-04"
+
+
+class TestCleaning:
+    def test_drop_null_rows_handles_nan_for_floats(self, spark):
+        df = spark.createDataFrame(
+            [Row(a=1.0, b="x"), Row(a=float("nan"), b="y"), Row(a=None, b="z"), Row(a=2.0, b=None)],
+            "a double, b string",
+        )
+        kept = drop_null_rows(df).collect()
+        assert [(r["a"], r["b"]) for r in kept] == [(1.0, "x")]
+
+    def test_trim_strings_only_touches_strings(self, spark):
+        df = spark.createDataFrame([Row(a="  x  ", n=7)], "a string, n int")
+        row = trim_strings(df).first()
+        assert row["a"] == "x" and row["n"] == 7
+
+    def test_dedupe_rows(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], ["x", "y"])
+        assert dedupe_rows(df).count() == 2
+
+    def test_normalize_names(self, spark):
+        df = spark.createDataFrame([(1,)], ["regiao-imediata-id"])
+        assert normalize_names(df).columns == ["regiao_imediata_id"]
+
+
+class TestProfiling:
+    def test_profile_is_single_row(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (2, None)], ["n", "s"])
+        row = profile(df).first()
+        assert row["count_n"] == 3 and row["distinct_n"] == 2
+        assert row["count_s"] == 2 and row["min_n"] == 1 and row["max_n"] == 2
+
+    def test_consistency_violations(self, spark):
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 2), ("y", 3), ("y", 3)], ["name", "id"]
+        )
+        rows = consistency_violations(df, "name", "id").collect()
+        assert [(r["name"], r["unique_ids"]) for r in rows] == [("x", 2)]
+
+
+class TestFlatten:
+    def test_flatten_nested_structs(self, spark):
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField(
+                    "uf",
+                    T.StructType(
+                        [
+                            T.StructField("sigla", T.StringType()),
+                            T.StructField(
+                                "regiao",
+                                T.StructType([T.StructField("nome", T.StringType())]),
+                            ),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        df = spark.createDataFrame([(1, ("SP", ("Sudeste",)))], schema)
+        flat = flatten_structs(df)
+        assert set(flat.columns) == {"id", "uf_sigla", "uf_regiao_nome"}
+        assert flat.first()["uf_regiao_nome"] == "Sudeste"
+
+    def test_arrays_left_intact(self, spark):
+        df = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+        assert flatten_structs(df).columns == ["id", "xs"]

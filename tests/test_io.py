@@ -1,0 +1,89 @@
+"""IO layer tests: schema-pinned readers, writers, freshness guards,
+gold catalog semantics (append/truncate/latest-snapshot)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_bigquery_lakehouse_spark.io import (
+    GoldCatalog,
+    load_testdata,
+    read_table,
+    write_if_stale,
+    write_table,
+)
+from weather_bigquery_lakehouse_spark.io.freshness import upload_if_new_year
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="requires a schema"):
+        read_table(spark, str(tmp_path / "x.csv"), "csv")
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    path = str(tmp_path / "t_csv")
+    write_table(df, path, fmt="csv")
+    back = read_table(spark, path, "csv", schema=df.schema)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert back.schema == df.schema
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id int, _ingestion_date string"
+    )
+    path = str(tmp_path / "t_part")
+    write_table(df, path, partition_by=["_ingestion_date"])
+    back = read_table(spark, path).where(F.col("_ingestion_date") == "2024-01-02")
+    assert back.count() == 1
+    # partition pruning: the filter lands in the scan's PartitionFilters
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_load_testdata_registers_views(spark, sf_dir):
+    tables = load_testdata(spark, sf_dir, ["region", "events"])
+    assert tables["region"].count() == 5
+    assert spark.sql("SELECT COUNT(*) AS c FROM region").first()["c"] == 5
+    # events.ts must arrive as a usable (microsecond) timestamp
+    assert tables["events"].schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_write_if_stale(spark, tmp_path):
+    df = spark.range(3)
+    path = str(tmp_path / "guarded")
+    assert write_if_stale(df, path) is True       # absent → write
+    assert write_if_stale(df, path) is False      # fresh → skip
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=400)
+    assert write_if_stale(df, path, now=future) is True  # stale → rewrite
+
+
+def test_gold_catalog_append_truncate_latest(spark, tmp_path):
+    cat = GoldCatalog(str(tmp_path / "warehouse"))
+    d1 = spark.createDataFrame([(1, "2024-01-01")], "id int, _ingestion_date string")
+    d2 = spark.createDataFrame([(2, "2024-06-01")], "id int, _ingestion_date string")
+    cat.write_table(d1, "fact", mode="append")
+    cat.write_table(d2, "fact", mode="append")
+    assert cat.read_table(spark, "fact").count() == 2
+    latest = cat.read_latest_snapshot(spark, "fact")
+    assert [r["id"] for r in latest.collect()] == [2]
+    cat.write_table(d1, "fact", mode="truncate")
+    assert cat.read_table(spark, "fact").count() == 1
+    # filtered read pushes the predicate down
+    assert cat.read_table(spark, "fact", columns=["id"], where="id = 1").count() == 1
+
+
+def test_upload_if_new_year(spark, tmp_path):
+    cat = GoldCatalog(str(tmp_path / "wh2"))
+    df = spark.createDataFrame([(1, "2024-03-01")], "id int, _ingestion_date string")
+    today_2024 = dt.date(2024, 7, 1)
+    today_2025 = dt.date(2025, 1, 5)
+    assert upload_if_new_year(df, cat, "dim", today=today_2024) is True   # absent
+    assert upload_if_new_year(df, cat, "dim", today=today_2024) is False  # same year
+    assert upload_if_new_year(df, cat, "dim", today=today_2025) is True   # new year
+    assert cat.read_table(spark, "dim").count() == 2

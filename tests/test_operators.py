@@ -1,0 +1,130 @@
+"""Operator tests: star schema key agreement, dedup recall/precision on
+constructed near-duplicates, similarity ranking, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_bigquery_lakehouse_spark.operators import dedup as dd
+from weather_bigquery_lakehouse_spark.operators import multimodal as mm
+from weather_bigquery_lakehouse_spark.operators import similarity as sim
+from weather_bigquery_lakehouse_spark.operators import text as tx
+from weather_bigquery_lakehouse_spark.operators.star_schema import (
+    build_dim_distinct,
+    build_fact,
+)
+from weather_bigquery_lakehouse_spark.functions.keys import surrogate_key
+
+
+def test_dim_and_fact_keys_agree(spark):
+    """The reference's core invariant: fact FKs are recomputed hashes of the
+    same natural keys the dims hash, so fact⋈dim on the surrogate key loses
+    no rows (silver_to_gold.py:110-113 vs :158-166)."""
+    base = spark.createDataFrame([("2024-01-01",), ("2024-01-02",)], "d string")
+    dim = build_dim_distinct(base, ["d"], "id_d")
+    fact = build_fact(
+        base,
+        dim_joins=[],
+        fk_exprs={"id_d": surrogate_key("d")},
+        fact_key_name="id_f",
+        fact_key_cols=[surrogate_key("d")],
+        measures=[F.col("d")],
+    )
+    joined = fact.join(dim, "id_d", "inner")
+    assert joined.count() == fact.count() == 2
+
+
+DOC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away home today"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog and runs far away home"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 4 collapse
+    assert groups[3] == 1
+
+
+def test_lsh_finds_near_dup_pair(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_scores(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert out[(1, 4)] == 1.0          # exact dup
+    assert 0.5 < out[(1, 2)] < 1.0     # near dup
+    assert (1, 3) not in out
+
+
+def test_simhash_near_dups_close(docs):
+    vals = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert vals[1] == vals[4]  # identical text → identical simhash
+    ham_near = bin(vals[1] ^ vals[2]).count("1")
+    ham_far = bin(vals[1] ^ vals[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_ranks_by_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.7, 0.0]),   # middle
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where(F.col("vec_id") == 0)
+    out = sim.cosine_topk(emb, probes, k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 3, 2]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where(F.col("vec_id") == 0)
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = sim.lsh_bucketed_topk(emb, probes, planes, k=3).collect()
+    # candidates restricted to probe's bucket — never more than corpus
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a king"), (2, "le chat et les chiens est la"), (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in tx.language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(b"abc")
+
+
+def test_multimodal_decode_pipeline(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    payload = df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    media = mm.attach_media(payload, "payload", "image/png", id_col="doc_id")
+    row = mm.decode_media(media, fake=True).first()
+    assert row["media_id"] == 1
+    assert row["width"] == 64 + ord("h") and row["height"] == 64 + ord("e")
+    assert row["n_bytes"] == 11 and row["mime"] == "image/png"
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(1, b"x" * 2500)], "doc_id long, payload binary")
+    media = mm.attach_media(df, "payload", "video/mp4", id_col="doc_id")
+    rows = mm.frame_sample(media, every_n_bytes=1000).collect()
+    assert [(r["frame_idx"], r["offset"]) for r in rows] == [(0, 0), (1, 1000), (2, 2000)]
