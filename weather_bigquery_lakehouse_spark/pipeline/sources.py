@@ -1,0 +1,177 @@
+"""Source adapters for the bronze tier (reference S1–S3).
+
+The reference fetches IBGE municipality metadata and CPTEC 6-day forecasts
+over HTTP (sync requests + asyncio fan-out with a 20-way semaphore,
+reference src/etl/utils/data_ingestion.py). Two design decisions here:
+
+* **Fetching is injectable.** `CitySource`/`ForecastSource` take a
+  ``fetch_fn``; production wires an HTTP client (requests/aiohttp — same
+  pattern as the reference), tests wire the deterministic fixture below.
+  This container has no network access, so the default fetcher raises with
+  instructions rather than hanging.
+
+* **Failures drop rows, with accounting.** The reference silently drops
+  cities whose lookups fail (data_ingestion.py:20-22,53-56) — lossy by
+  design. We keep the tolerance but count drops, so runs are auditable
+  (SURVEY.md §7 risk 3).
+
+At 100 TB-scale ingest the driver-side fan-out becomes
+``mapInPandas`` over a partitioned id list (each partition fetching its
+shard), which is shape-compatible with these adapters.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+FetchFn = Callable[[str], Any]
+
+
+def _no_network_fetch(url: str) -> Any:
+    raise RuntimeError(
+        "no HTTP client configured (this environment is offline); "
+        "inject fetch_fn=<callable returning parsed JSON> or use "
+        "fixture_city_rows()/fixture_forecast_rows()"
+    )
+
+
+@dataclass
+class SourceStats:
+    requested: int = 0
+    fetched: int = 0
+    dropped: list[str] = field(default_factory=list)
+
+
+class CitySource:
+    """City metadata source (reference `get_ibge_city_data` +
+    `get_city_data`, data_ingestion.py:6-42)."""
+
+    def __init__(self, fetch_fn: FetchFn = _no_network_fetch):
+        self.fetch = fetch_fn
+        self.stats = SourceStats()
+
+    def city_rows(self, city_names: list[str], base_url: str = "") -> list[dict]:
+        rows = []
+        self.stats.requested = len(city_names)
+        for name in city_names:
+            try:
+                # Name normalization before lookup (reference
+                # bronze_ingest.py:17: '-' → ' ').
+                payload = self.fetch(f"{base_url}/{name.replace('-', ' ')}")
+                if payload:
+                    rows.append(payload)
+            except Exception:
+                self.stats.dropped.append(name)  # lossy-tolerant, accounted
+        self.stats.fetched = len(rows)
+        return rows
+
+
+class ForecastSource:
+    """Forecast source with bounded concurrency semantics (reference
+    `get_weather_data`, data_ingestion.py:44-79). The sync loop here is the
+    injection point; a production impl batches ``max_concurrent`` requests."""
+
+    def __init__(self, fetch_fn: FetchFn = _no_network_fetch, max_concurrent: int = 20):
+        self.fetch = fetch_fn
+        self.max_concurrent = max_concurrent
+        self.stats = SourceStats()
+
+    def forecast_rows(self, city_ids: list[int], days: int = 6, base_url: str = "") -> list[dict]:
+        rows = []
+        self.stats.requested = len(city_ids)
+        for cid in city_ids:
+            try:
+                payload = self.fetch(f"{base_url}/{cid}/{days}")
+                if payload:
+                    rows.append(payload)
+            except Exception:
+                self.stats.dropped.append(str(cid))
+        self.stats.fetched = len(rows)
+        return rows
+
+
+# --- Deterministic fixtures (offline stand-ins for IBGE/CPTEC) -------------
+
+_CONDITIONS = [
+    ("ps", "Predomínio de Sol"),
+    ("c", "Chuva"),
+    ("pn", "Parcialmente Nublado"),
+    ("n", "Nublado"),
+]
+
+
+def fixture_city_rows(n: int = 40, seed: int = 42) -> list[dict]:
+    """Nested city records shaped like the IBGE municipios payload
+    (struct-in-struct, flattened at silver — reference bronze_ingest.py:38-47)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "id": 3500000 + i,
+                "nome": f"Cidade {i:03d}",
+                "microrregiao": {
+                    "id": 35000 + i // 5,
+                    "nome": f"Micro {i // 5}",
+                    "mesorregiao": {
+                        "id": 3500 + i // 10,
+                        "nome": f"Meso {i // 10}",
+                        "UF": {
+                            "id": 35,
+                            "sigla": "SP",
+                            "nome": "São Paulo",
+                            "regiao": {"id": 3, "sigla": "SE", "nome": "Sudeste"},
+                        },
+                    },
+                },
+                "regiao-imediata": {"id": 350000 + i // 8, "nome": f"Imediata {i // 8}"},
+            }
+        )
+    rng.shuffle(rows)
+    return rows
+
+
+def fixture_forecast_rows(
+    n_cities: int = 40, days: int = 6, seed: int = 42, ingestion_date: str = "2024-03-25"
+) -> list[dict]:
+    """CPTEC-shaped forecast records: one record per city with a `clima`
+    ARRAY (one element per day), exploded at silver (bronze_ingest.py:59-60).
+    Injects the dirty-data the cleaning tier must handle: mixed date
+    formats, stray whitespace, NULLs, exact duplicates."""
+    rng = random.Random(seed)
+    base_day = 25
+    rows = []
+    for i in range(n_cities):
+        fmt = i % 3
+        if fmt == 0:
+            atualizado = "2024-03-25"
+        elif fmt == 1:
+            atualizado = "25/03/2024"
+        else:
+            atualizado = "03-25-2024"
+        clima = []
+        for d in range(days):
+            cond = _CONDITIONS[rng.randrange(len(_CONDITIONS))]
+            clima.append(
+                {
+                    "data": f"2024-03-{base_day + d:02d}",
+                    "condicao": cond[0],
+                    "condicao_desc": (" " + cond[1] + " ") if rng.random() < 0.2 else cond[1],
+                    "min": rng.randrange(12, 20) if rng.random() > 0.05 else None,
+                    "max": rng.randrange(21, 34),
+                    "indice_uv": rng.randrange(1, 12),
+                }
+            )
+        row = {
+            "codigo": 4700 + i,
+            "nome": f"Cidade {i:03d}" if rng.random() > 0.1 else f"  Cidade {i:03d} ",
+            "estado": "SP",
+            "atualizado_em": atualizado,
+            "clima": clima,
+        }
+        rows.append(row)
+        if rng.random() < 0.1:
+            rows.append(dict(row))  # exact duplicate for the dedup stage
+    return rows
