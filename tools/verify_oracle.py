@@ -26,6 +26,10 @@ TABLES = [
 
 
 def _norm(v):
+    # STRICT on purpose: no float rounding, no decimal/int coercion. The
+    # driver's gate hashes exact values; a lenient local normalization
+    # green-lights queries the driver then fails (round-1 lesson). Queries
+    # must make both engines produce bit-identical values instead.
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -33,7 +37,7 @@ def _norm(v):
             return "nan"
         if v == 0:
             return "0"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)

@@ -63,7 +63,8 @@ def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, Dat
 
 _SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber, l_extendedprice,
-       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS disc_price
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS disc_price
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_discount > 0.05
 """
@@ -84,7 +85,16 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_extendedprice",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            # Decimal end-to-end: the source doubles carry exact 2-decimal
+            # money values, so double→DECIMAL(18,2) rounds identically in
+            # both engines (never a half-way case), and every later step is
+            # exact decimal arithmetic — bit-identical across engines.
+            # Double arithmetic + a final decimal cast is NOT portable: the
+            # engines disagree on the rounding mode at the 4th decimal.
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
             .cast("decimal(18,4)")
             .alias("disc_price"),
         )
@@ -473,7 +483,7 @@ def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JSON = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
