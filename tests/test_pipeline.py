@@ -89,7 +89,83 @@ def test_fact_append_is_idempotent(spark, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_second_day_preserves_first_days_partitions(spark, tmp_path):
+    """Day-2 ingestion must NOT delete day-1 bronze/silver partitions.
+    Overwrite+partitionBy under static partition-overwrite drops every
+    existing partition; the engine pins partitionOverwriteMode=dynamic so
+    an overwrite only replaces the partitions present in the increment."""
+    kwargs = dict(
+        zone_dir=str(tmp_path / "zones"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        city_records=fixture_city_rows(10),
+        forecast_records=fixture_forecast_rows(10),
+    )
+    run_pipeline(spark, run_date="2024-03-25", **kwargs)
+    run_pipeline(spark, run_date="2024-03-26", **kwargs)
+    for tier, entity in [
+        ("bronze", "cptec_weather"),
+        ("bronze", "ibge_cities"),
+        ("silver", "cptec_weather"),
+        ("silver", "ibge_cities"),
+    ]:
+        fmt = "json" if tier == "bronze" else "parquet"
+        df = spark.read.format(fmt).load(str(tmp_path / "zones" / tier / entity))
+        dates = {str(r["_ingestion_date"]) for r in df.select("_ingestion_date").distinct().collect()}
+        assert dates == {"2024-03-25", "2024-03-26"}, f"{tier}/{entity}: {dates}"
+
+
 def test_source_drop_accounting():
     src = CitySource(fetch_fn=lambda url: (_ for _ in ()).throw(IOError("down")))
     rows = src.city_rows(["a", "b"])
     assert rows == [] and src.stats.dropped == ["a", "b"] and src.stats.requested == 2
+
+
+def test_forecast_fetch_runs_concurrently_within_bound():
+    """S2/S3 contract: fan-out is genuinely concurrent but never exceeds
+    max_concurrent in flight (reference Semaphore(20) semantics,
+    data_ingestion.py:59-63)."""
+    import threading
+    import time
+
+    from weather_bigquery_lakehouse_spark.pipeline.sources import ForecastSource
+
+    lock = threading.Lock()
+    state = {"inflight": 0, "peak": 0}
+    latency = 0.05
+
+    def slow_fetch(url):
+        with lock:
+            state["inflight"] += 1
+            state["peak"] = max(state["peak"], state["inflight"])
+        time.sleep(latency)
+        with lock:
+            state["inflight"] -= 1
+        return {"url": url}
+
+    src = ForecastSource(fetch_fn=slow_fetch, max_concurrent=8)
+    t0 = time.monotonic()
+    rows = src.forecast_rows(list(range(40)))
+    wall = time.monotonic() - t0
+    assert len(rows) == 40 and src.stats.fetched == 40
+    assert state["peak"] <= 8, f"in-flight exceeded bound: {state['peak']}"
+    assert state["peak"] >= 4, f"fetches did not overlap: {state['peak']}"
+    # sequential would take 40×latency = 2 s; 8-way ≈ ceil(40/8)×latency
+    assert wall < 20 * latency, f"wall time {wall:.2f}s is not concurrent"
+    # results preserve input order (asyncio.gather contract)
+    assert [r["url"] for r in rows] == [f"/{cid}/6" for cid in range(40)]
+
+
+def test_concurrent_fetch_drops_failures_in_order():
+    from weather_bigquery_lakehouse_spark.pipeline.sources import ForecastSource
+
+    def flaky(url):
+        cid = int(url.split("/")[1])
+        if cid % 3 == 0:
+            raise IOError("down")
+        return {"cid": cid}
+
+    src = ForecastSource(fetch_fn=flaky, max_concurrent=4)
+    rows = src.forecast_rows(list(range(10)))
+    assert [r["cid"] for r in rows] == [1, 2, 4, 5, 7, 8]
+    assert src.stats.dropped == ["0", "3", "6", "9"]
+    assert src.stats.requested == 10 and src.stats.fetched == 6

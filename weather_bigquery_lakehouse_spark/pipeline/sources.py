@@ -23,10 +23,38 @@ shard), which is shape-compatible with these adapters.
 from __future__ import annotations
 
 import random
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
 FetchFn = Callable[[str], Any]
+
+
+def _fetch_concurrent(
+    keys: list[str], urls: list[str], fetch: FetchFn, max_concurrent: int
+) -> tuple[list[Any], list[str]]:
+    """Fan the fetches out over a thread pool bounded by ``max_concurrent``
+    (the engine's equivalent of the reference's asyncio gather +
+    Semaphore(20) throttle, data_ingestion.py:24-42,59-63). The pool size IS
+    the in-flight bound — at most ``max_concurrent`` requests run at once.
+
+    Results come back in INPUT order (like asyncio.gather), truthy payloads
+    kept, failures dropped and returned as the second element — the
+    reference's lossy-tolerant contract, with accounting."""
+    if not keys:
+        return [], []
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+        futures = [pool.submit(fetch, url) for url in urls]
+        rows: list[Any] = []
+        dropped: list[str] = []
+        for key, fut in zip(keys, futures):
+            try:
+                payload = fut.result()
+                if payload:
+                    rows.append(payload)
+            except Exception:
+                dropped.append(key)
+    return rows, dropped
 
 
 def _no_network_fetch(url: str) -> Any:
@@ -46,32 +74,33 @@ class SourceStats:
 
 class CitySource:
     """City metadata source (reference `get_ibge_city_data` +
-    `get_city_data`, data_ingestion.py:6-42)."""
+    `get_city_data`, data_ingestion.py:6-42). The reference's per-city
+    lookup is an unthrottled asyncio.gather; here the fan-out is a thread
+    pool with a (generous) bound so one slow endpoint can't pile up an
+    unbounded number of in-flight sockets."""
 
-    def __init__(self, fetch_fn: FetchFn = _no_network_fetch):
+    def __init__(self, fetch_fn: FetchFn = _no_network_fetch, max_concurrent: int = 64):
         self.fetch = fetch_fn
+        self.max_concurrent = max_concurrent
         self.stats = SourceStats()
 
     def city_rows(self, city_names: list[str], base_url: str = "") -> list[dict]:
-        rows = []
         self.stats.requested = len(city_names)
-        for name in city_names:
-            try:
-                # Name normalization before lookup (reference
-                # bronze_ingest.py:17: '-' → ' ').
-                payload = self.fetch(f"{base_url}/{name.replace('-', ' ')}")
-                if payload:
-                    rows.append(payload)
-            except Exception:
-                self.stats.dropped.append(name)  # lossy-tolerant, accounted
+        # Name normalization before lookup (reference bronze_ingest.py:17:
+        # '-' → ' ').
+        urls = [f"{base_url}/{name.replace('-', ' ')}" for name in city_names]
+        rows, dropped = _fetch_concurrent(
+            city_names, urls, self.fetch, self.max_concurrent
+        )
+        self.stats.dropped.extend(dropped)
         self.stats.fetched = len(rows)
         return rows
 
 
 class ForecastSource:
-    """Forecast source with bounded concurrency semantics (reference
-    `get_weather_data`, data_ingestion.py:44-79). The sync loop here is the
-    injection point; a production impl batches ``max_concurrent`` requests."""
+    """Forecast source with bounded concurrency (reference
+    `get_weather_data`, data_ingestion.py:44-79: asyncio fan-out throttled
+    by Semaphore(20) — here the 20-thread pool is the same bound)."""
 
     def __init__(self, fetch_fn: FetchFn = _no_network_fetch, max_concurrent: int = 20):
         self.fetch = fetch_fn
@@ -79,15 +108,11 @@ class ForecastSource:
         self.stats = SourceStats()
 
     def forecast_rows(self, city_ids: list[int], days: int = 6, base_url: str = "") -> list[dict]:
-        rows = []
         self.stats.requested = len(city_ids)
-        for cid in city_ids:
-            try:
-                payload = self.fetch(f"{base_url}/{cid}/{days}")
-                if payload:
-                    rows.append(payload)
-            except Exception:
-                self.stats.dropped.append(str(cid))
+        keys = [str(cid) for cid in city_ids]
+        urls = [f"{base_url}/{cid}/{days}" for cid in city_ids]
+        rows, dropped = _fetch_concurrent(keys, urls, self.fetch, self.max_concurrent)
+        self.stats.dropped.extend(dropped)
         self.stats.fetched = len(rows)
         return rows
 

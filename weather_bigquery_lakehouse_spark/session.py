@@ -47,6 +47,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Dynamic partition overwrite: an overwrite with partitionBy replaces
+        # ONLY the partitions present in the incoming frame. Without this a
+        # day-2 bronze/silver run would delete day-1's partitions — the
+        # static mode drops every existing partition of the target table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
