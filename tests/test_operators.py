@@ -60,6 +60,29 @@ def test_lsh_finds_near_dup_pair(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_lsh_bucket_cap_drops_viral_cluster(spark):
+    """The max_bucket_size guardrail: a 1k-doc duplicate cluster lands every
+    copy in the same bucket per band; capped, those buckets are dropped and
+    the pair output stays bounded instead of going to ~n²/2 rows."""
+    viral = [(i, "the same viral boilerplate page content repeated verbatim everywhere") for i in range(1000)]
+    distinct_pair = [
+        (2000, "one unusual document about catalyst optimizer internals and codegen"),
+        (2001, "one unusual document about catalyst optimizer internals and codegen today"),
+    ]
+    df = spark.createDataFrame(viral + distinct_pair, "doc_id long, text string")
+
+    capped = dd.lsh_candidate_pairs(df, max_bucket_size=100).collect()
+    ids_in_pairs = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    # the viral cluster contributes NO pairs; the small near-dup pair survives
+    assert ids_in_pairs == {2000, 2001}
+    assert len(capped) == 1
+
+    # sanity: a cluster under the cap still produces its full pair set
+    small = spark.createDataFrame(viral[:50], "doc_id long, text string")
+    pairs = dd.lsh_candidate_pairs(small, max_bucket_size=100).collect()
+    assert len(pairs) == 50 * 49 // 2
+
+
 def test_jaccard_scores(docs):
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert out[(1, 4)] == 1.0          # exact dup
@@ -121,6 +144,19 @@ def test_multimodal_decode_pipeline(spark):
     assert row["media_id"] == 1
     assert row["width"] == 64 + ord("h") and row["height"] == 64 + ord("e")
     assert row["n_bytes"] == 11 and row["mime"] == "image/png"
+
+
+def test_multimodal_null_payload_propagates(spark):
+    """A NULL payload must yield NULL features, not kill the decode stage."""
+    df = spark.createDataFrame(
+        [(1, b"hi"), (2, None)], "doc_id long, payload binary"
+    )
+    media = mm.attach_media(df, "payload", "image/png", id_col="doc_id")
+    rows = {r["media_id"]: r for r in mm.decode_media(media, fake=True).collect()}
+    assert rows[1]["checksum"] is not None and rows[1]["width"] == 64 + ord("h")
+    assert rows[2]["checksum"] is None
+    assert rows[2]["width"] is None and rows[2]["height"] is None
+    assert rows[2]["n_bytes"] is None
 
 
 def test_frame_sample_offsets(spark):

@@ -11,8 +11,10 @@ hash aggregates, self-joins) — no Python in the hot path. Shuffle shape at
                  the join key is a hash bucket, so co-candidates co-locate
                  and the join degenerates to within-bucket pairs. Bucket
                  skew (a viral duplicate cluster) is the known hot spot —
-                 AQE skew-join handles it; cap pair expansion per bucket
-                 upstream if needed.
+                 AQE skew-join spreads moderate skew, and buckets larger
+                 than ``max_bucket_size`` are dropped before the join
+                 (viral clusters belong to exact dedup, which collapses
+                 them in one aggregate).
   SimHash      — pure per-doc aggregation (token explode → one groupBy);
                  near-dup lookup is then a cheap equality/Hamming probe.
   n-gram Jaccard — exact pairwise verification; self-join on shingle hash.
@@ -26,12 +28,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import shingles_expr, tokens_expr
 
 # MinHash configuration shared with the oracle SQL in plans/extensions.py.
 N_HASHES = 16
 BAND_ROWS = 2  # 8 bands of 2 rows
+
+# Guardrail for the LSH self-join: a band bucket with n docs produces
+# ~n²/2 join rows, so one viral duplicate cluster (say 10M copies of a
+# boilerplate page at 100 TB) would emit 5·10¹³ pairs. Buckets above this
+# size are DROPPED from candidate generation — the standard treatment:
+# such clusters are better handled by exact dedup (the digest groupBy),
+# which collapses them in one aggregate regardless of size. The default is
+# far above anything the fixtures produce, so capped and uncapped results
+# are identical on the test data.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 # Universal-hash family over the Mersenne prime 2^31-1: one md5→int
 # conversion per shingle, then each family member is (a·h + b) mod P —
@@ -117,12 +130,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
     Signature is split into n/band_rows bands; docs sharing any band hash
     become a candidate pair. The self-join keys on (band_idx, band_hash),
-    so the shuffle routes each doc to exactly n_bands buckets."""
+    so the shuffle routes each doc to exactly n_bands buckets.
+
+    ``max_bucket_size`` is the scale guardrail: buckets holding more docs
+    than this are dropped BEFORE the self-join (a windowed count over the
+    same key the join shuffles on — no extra shuffle), bounding the pair
+    expansion of any one bucket at max_bucket_size²/2 instead of letting a
+    viral duplicate cluster go quadratic. Pass ``None`` to disable."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // band_rows
     bands = F.array(
@@ -138,15 +158,25 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    # Cache: the self-join below references this frame twice; without the
-    # cache Spark recomputes the whole tokenize→shingle→signature lineage
-    # for each side. The cached frame is tiny (n_bands rows × ~40 B/doc).
-    # At warehouse scale this is a persisted signature table instead.
-    banded = (
-        sig.select(F.col(id_col), F.explode(bands).alias("band"))
-        .select(id_col, "band.band_idx", "band.band_hash")
-        .cache()
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
     )
+    if max_bucket_size is not None:
+        occupancy = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(occupancy))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    # Materialize once (eager local checkpoint): the self-join references
+    # this frame twice, and without materialization Spark recomputes the
+    # whole tokenize→shingle→signature lineage per side. Unlike `.cache()`,
+    # checkpoint blocks are released by the ContextCleaner when the frame
+    # is garbage-collected — repeated calls (the 29-query gate, bench
+    # loops) don't accumulate blocks in the CacheManager forever. The frame
+    # is tiny (n_bands rows × ~40 B/doc); at warehouse scale this is a
+    # persisted signature table instead.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -174,8 +204,10 @@ def ngram_jaccard_pairs(
     shingle — exact but quadratic in cluster size). With ``candidates``
     (doc_a, doc_b — e.g. from LSH): verification only. Output columns:
     doc_a, doc_b, jaccard (exact rational → double, engine-portable)."""
-    # Cached: referenced three times below (sizes + both join sides).
-    sh = _doc_shingles(df, text_col, id_col).cache()
+    # Materialized once — referenced three times below (sizes + both join
+    # sides). localCheckpoint instead of cache() so blocks are released on
+    # GC rather than pinned in the CacheManager across repeated calls.
+    sh = _doc_shingles(df, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

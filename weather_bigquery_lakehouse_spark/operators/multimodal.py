@@ -91,27 +91,37 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> tuple[int, int]:
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode stage over the media layout → typed features.
 
-    `mapInPandas` keeps partitioning intact (no shuffle) and moves data
-    Python-side one Arrow batch at a time; output schema is pinned."""
-    import hashlib
+    The checksum is computed JVM-side (`F.sha2` — vectorized, inside
+    codegen) BEFORE the Python stage: only the decode itself genuinely
+    needs Python, and at 100 TB of payload bytes hashing in Python would
+    double the slow-path work for no reason. `mapInPandas` keeps
+    partitioning intact (no shuffle) and moves data Python-side one Arrow
+    batch at a time; output schema is pinned. NULL payloads null-propagate
+    (checksum/width/height NULL) instead of killing the stage."""
+    with_checksum = df.withColumn("checksum", F.sha2(F.col("payload"), 256))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image_stub(p, fake=fake) for p in pdf["payload"]]
+            dims = [
+                None if p is None else decode_image_stub(bytes(p), fake=fake)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "checksum": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "checksum": pdf["checksum"],
                 }
             )
 
-    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    return with_checksum.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
