@@ -87,6 +87,39 @@ class TestCleaning:
         df = spark.createDataFrame([(1,)], ["regiao-imediata-id"])
         assert normalize_names(df).columns == ["regiao_imediata_id"]
 
+    def test_removal_accounting_matches_eager_loop_semantics(self, spark):
+        """One-agg accounting must equal the reference's per-column eager
+        counts (data_cleaning.py:8-53) computed the naive way."""
+        from weather_bigquery_lakehouse_spark.functions.cleaning import (
+            removal_accounting,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(a=1.0, s=" x ", t="k"),
+                Row(a=float("nan"), s="y", t="k"),
+                Row(a=None, s="z ", t=None),
+                Row(a=2.0, s=None, t="m"),
+                Row(a=2.0, s=None, t="m"),  # exact duplicate
+            ],
+            "a double, s string, t string",
+        )
+        row = removal_accounting(df).first()
+
+        # naive eager-loop ground truth, reference semantics
+        assert row["n_rows"] == df.count() == 5
+        assert row["n_null_a"] == df.filter(
+            F.col("a").isNull() | F.isnan("a")
+        ).count() == 2
+        assert row["n_null_s"] == df.filter(F.col("s").isNull()).count() == 2
+        assert row["n_null_t"] == df.filter(F.col("t").isNull()).count() == 1
+        assert row["n_untrimmed_s"] == df.filter(
+            F.col("s").isNotNull() & (F.col("s") != F.trim("s"))
+        ).count() == 2
+        assert row["n_untrimmed_t"] == 0
+        assert row["n_distinct_rows"] == df.dropDuplicates().count() == 4
+        assert row["n_duplicate_rows"] == 1
+
 
 class TestProfiling:
     def test_profile_is_single_row(self, spark):

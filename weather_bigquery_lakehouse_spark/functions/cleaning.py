@@ -4,8 +4,8 @@ The reference's cleaning utilities (src/etl/utils/data_cleaning.py) run an
 eager ``count()`` per column around every transform — O(columns) Spark jobs
 per cleaning step. These versions keep the same relational semantics as one
 lazy transform each (zero extra jobs); row-removal accounting, when wanted,
-is a side output computed in a single aggregate pass (see profiling.py),
-not a per-column job loop.
+is ``removal_accounting`` — every count the reference produced with its
+eager per-column loops, computed in ONE aggregate pass.
 """
 
 from __future__ import annotations
@@ -58,6 +58,40 @@ def dedupe_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     on all columns; at scale prefer a ``subset`` of key columns so the
     shuffle key is narrow."""
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def removal_accounting(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Every count the reference's cleaning loops report — per-column
+    null/NaN rows (``remove_null_values``, data_cleaning.py:8-24), per-
+    string-column untrimmed rows (``remove_whitespace``, :29-41), and
+    duplicate rows (``drop_duplicates``, :43-53) — as ONE aggregate job
+    instead of O(columns) eager ``count()`` actions.
+
+    Returns a 1-row frame: ``n_rows``, ``n_null_<col>`` for each considered
+    column (NaN counted as null for float columns, the reference's typed
+    branch), ``n_untrimmed_<col>`` for each string column, and
+    ``n_distinct_rows`` / ``n_duplicate_rows`` over all columns."""
+    cols = subset or df.columns
+    numeric = _numeric_cols(df)
+    string_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "string"}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        is_null = F.col(c).isNull()
+        if c in numeric:
+            is_null = is_null | F.isnan(F.col(c))
+        aggs.append(F.sum(is_null.cast("bigint")).alias(f"n_null_{c}"))
+    for c in cols:
+        if c in string_cols:
+            dirty = F.col(c).isNotNull() & (F.col(c) != F.trim(F.col(c)))
+            aggs.append(F.sum(dirty.cast("bigint")).alias(f"n_untrimmed_{c}"))
+    aggs.append(
+        F.countDistinct(F.struct(*[F.col(c) for c in df.columns])).alias(
+            "n_distinct_rows"
+        )
+    )
+    return df.agg(*aggs).withColumn(
+        "n_duplicate_rows", (F.col("n_rows") - F.col("n_distinct_rows")).cast("bigint")
+    )
 
 
 def drop_columns(df: DataFrame, cols: list[str]) -> DataFrame:

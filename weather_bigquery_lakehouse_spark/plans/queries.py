@@ -311,6 +311,42 @@ def clean_trim_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_rows(cleaned)
 
 
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_DOC_STRING_COLS = ["text", "lang", "source"]
+_SQL_CLEANING_REPORT = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_{c}"
+        for c in _DOC_COLS
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NOT NULL AND {c} <> TRIM({c}) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_untrimmed_{c}"
+        for c in _DOC_STRING_COLS
+    )
+    + ", CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM documents)) AS BIGINT)"
+    "      AS n_distinct_rows"
+    + ", CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM documents))"
+    "      AS BIGINT) AS n_duplicate_rows"
+    + " FROM documents"
+)
+
+
+@_register(
+    "cleaning_report_documents",
+    _SQL_CLEANING_REPORT,
+    "rows-removed accounting: every count the reference's eager cleaning "
+    "loops report (nulls per column, untrimmed strings, duplicate rows — "
+    "data_cleaning.py:8-53) in ONE aggregate job",
+)
+def cleaning_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import removal_accounting
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return removal_accounting(docs)
+
+
 # --------------------------------------------------------------------------
 # Date parsing (F1/F2 multi-format coalesce chain)
 # --------------------------------------------------------------------------
