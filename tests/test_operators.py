@@ -122,6 +122,42 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
 
 
+def test_multiprobe_lsh_lifts_recall(spark):
+    """Multi-probe (exact bucket + Hamming-1 neighbors) must strictly lift
+    recall vs single-probe on clustered vectors, and clear a fixed bound.
+    All inputs are seeded, so the recalls are exact reproducible values."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for c in range(20):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(10):
+            rows.append((c * 10 + j, [x + rng.uniform(-0.15, 0.15) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(6)]
+    probes = df.where(F.col("vec_id") % 10 == 0)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, probes, k=5).collect()
+    }
+
+    def recall(n_probes):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.lsh_bucketed_topk(
+                df, probes, planes, k=5, n_probes=n_probes
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, f"multi-probe did not lift recall: {r1} -> {r4}"
+    assert r1 >= 0.7 and r4 >= 0.8, f"recall below bound: r1={r1}, r4={r4}"
+
+
 def test_language_id_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a king"), (2, "le chat et les chiens est la"), (3, "xyzzy plugh")],

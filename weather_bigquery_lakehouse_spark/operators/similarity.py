@@ -95,15 +95,29 @@ def lsh_bucketed_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the probe's
     hyperplane bucket, then exact scoring within the bucket. The join is a
     plain equi-join on the bucket id — shuffle partitions by bucket, so
-    work scales with bucket occupancy, not corpus size × probes."""
+    work scales with bucket occupancy, not corpus size × probes.
+
+    ``n_probes`` is the multi-probe recall lever: each query additionally
+    probes its Hamming-1 neighbor buckets (flipping bits 0, 1, … in order),
+    ``n_probes`` buckets in total. A near neighbor that landed on the other
+    side of ONE hyperplane is then still found; join width grows linearly
+    with n_probes while recall climbs toward exact. The probed bucket ids
+    are distinct, and every corpus vector lives in exactly one bucket, so
+    no candidate is scored twice."""
+    base = hyperplane_bucket(F.col(vec_col), planes)
+    probe_buckets = [base] + [
+        base.bitwiseXOR(F.lit(2**bit))
+        for bit in range(min(max(0, n_probes - 1), len(planes)))
+    ]
     q = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        F.explode(F.array(*probe_buckets)).alias("__bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
