@@ -78,6 +78,56 @@ def test_gold_catalog_append_truncate_latest(spark, tmp_path):
     assert cat.read_table(spark, "fact", columns=["id"], where="id = 1").count() == 1
 
 
+def test_bigquery_connector_assembly(tmp_path):
+    """S11/S12 behind the format flag: the catalog must assemble the public
+    spark-bigquery-connector plan (format + table/filter options, no path,
+    no driver collect) — asserted on the spec, no network/jar needed."""
+    from weather_bigquery_lakehouse_spark.io.catalog import GoldCatalog
+
+    cat = GoldCatalog(
+        str(tmp_path / "unused"),
+        dataset="gold",
+        fmt="bigquery",
+        options={"project": "example-project", "writeMethod": "indirect"},
+    )
+    w = cat.writer_spec("fact_weather", mode="truncate")
+    assert w["format"] == "bigquery" and w["path"] is None
+    assert w["mode"] == "overwrite"
+    assert w["options"]["table"] == "gold.fact_weather"
+    assert w["options"]["project"] == "example-project"
+
+    r = cat.reader_spec("fact_weather", where="_ingestion_date >= '2024-01-01'")
+    assert r["format"] == "bigquery" and r["path"] is None
+    assert r["options"]["table"] == "gold.fact_weather"
+    # predicate travels as the connector's server-side filter option
+    assert r["options"]["filter"] == "_ingestion_date >= '2024-01-01'"
+    assert r["where"] is None
+    # the bigquery flavor must not create local warehouse directories
+    assert not os.path.exists(str(tmp_path / "unused"))
+
+
+def test_parquet_catalog_spec_keeps_local_path(tmp_path):
+    from weather_bigquery_lakehouse_spark.io.catalog import GoldCatalog
+
+    cat = GoldCatalog(str(tmp_path / "wh"), dataset="gold")
+    w = cat.writer_spec("dim", mode="append", partition_by=["_ingestion_date"])
+    assert w["format"] == "parquet" and w["path"].endswith("gold/dim")
+    assert w["partition_by"] == ["_ingestion_date"]
+    r = cat.reader_spec("dim", columns=["id"], where="id = 1")
+    assert r["path"].endswith("gold/dim") and r["where"] == "id = 1"
+
+
+def test_ensure_dir_hadoop_fs(spark, tmp_path):
+    """S10: bucket/dataset DDL through the Hadoop FileSystem API (same call
+    shape for file://, s3a://, hdfs://)."""
+    from weather_bigquery_lakehouse_spark.io.catalog import ensure_dir
+
+    target = str(tmp_path / "zone" / "bronze")
+    assert ensure_dir(spark, target) is True
+    assert os.path.isdir(target)
+    assert ensure_dir(spark, target) is False  # already exists → no-op
+
+
 def test_upload_if_new_year(spark, tmp_path):
     cat = GoldCatalog(str(tmp_path / "wh2"))
     df = spark.createDataFrame([(1, "2024-03-01")], "id int, _ingestion_date string")

@@ -7,11 +7,20 @@ pandas frame to a load job (src/etl/utils/bigquery.py:105-141 — the
 scalability bug this engine exists to not have), and (c) reads back with
 filter/latest-snapshot SQL (src/etl/utils/bigquery.py:42-103).
 
-``GoldCatalog`` keeps that exact surface but distributed: tables are
-parquet directories under a warehouse root (standing in for the
-``spark-bigquery-connector`` in this container — swap `_format` for
-"bigquery" + connector options on a real deployment and nothing else
-changes). All reads/writes stay on executors.
+``GoldCatalog`` keeps that exact surface but distributed. Two backends
+behind one flag:
+
+  * ``fmt="parquet"`` (default) — tables are parquet directories under a
+    warehouse root; everything runs in this container.
+  * ``fmt="bigquery"`` — the writer/reader assemble the public
+    ``spark-bigquery-connector`` plan: ``format("bigquery")`` +
+    ``table``/``filter`` options, distributed load/pushdown read, no
+    driver collect. The connector jar and GCP credentials aren't in this
+    container, so only the ASSEMBLY is exercised by tests
+    (``writer_spec``/``reader_spec`` expose it); `.save()` on a real
+    cluster is the single untested call.
+
+All reads/writes stay on executors in both modes.
 """
 
 from __future__ import annotations
@@ -22,15 +31,52 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_MODE_MAP = {"append": "append", "truncate": "overwrite", "overwrite": "overwrite"}
+
+
+def ensure_dir(spark: SparkSession, path: str) -> bool:
+    """CREATE BUCKET/DATASET IF NOT EXISTS for any Hadoop-FS scheme
+    (file://, s3a://, hdfs://) — the engine's version of the reference's
+    ``create_bucket_if_not_exists`` (src/etl/utils/bucket.py:146-160).
+    Returns True when the directory was created."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[attr-defined]
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    if fs.exists(hadoop_path):
+        return False
+    fs.mkdirs(hadoop_path)
+    return True
+
 
 class GoldCatalog:
-    """Dataset of named gold tables backed by a warehouse directory."""
+    """Dataset of named gold tables behind a format switch.
 
-    def __init__(self, warehouse_dir: str, dataset: str = "gold"):
+    ``options`` carries connector settings (e.g. ``project``,
+    ``temporaryGcsBucket``, ``writeMethod`` for the BigQuery connector);
+    they are applied to every reader/writer this catalog assembles.
+    """
+
+    def __init__(
+        self,
+        warehouse_dir: str,
+        dataset: str = "gold",
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.warehouse_dir = warehouse_dir
         self.dataset = dataset
-        # CREATE DATASET IF NOT EXISTS (reference bigquery.py:7-17)
-        os.makedirs(self._dataset_path(), exist_ok=True)
+        self.fmt = fmt
+        self.options = dict(options or {})
+        if fmt != "bigquery":
+            # CREATE DATASET IF NOT EXISTS (reference bigquery.py:7-17).
+            # Hadoop-FS mkdirs when a session is available (works for s3a);
+            # plain mkdir otherwise. BigQuery datasets are created by the
+            # connector/warehouse, not a filesystem.
+            if spark is not None:
+                ensure_dir(spark, self._dataset_path())
+            else:
+                os.makedirs(self._dataset_path(), exist_ok=True)
 
     def _dataset_path(self) -> str:
         return os.path.join(self.warehouse_dir, self.dataset)
@@ -44,6 +90,58 @@ class GoldCatalog:
     def drop_table(self, table: str) -> None:
         shutil.rmtree(self._table_path(table), ignore_errors=True)
 
+    # -- plan assembly (exposed so tests can assert it without a network) --
+
+    def writer_spec(
+        self, table: str, mode: str, partition_by: list[str] | None = None
+    ) -> dict:
+        """The fully-assembled write plan: format, Spark save mode, options,
+        and target (path for file formats, table option for connectors)."""
+        spark_mode = _MODE_MAP[mode]
+        if self.fmt == "bigquery":
+            return {
+                "format": "bigquery",
+                "mode": spark_mode,
+                "options": {**self.options, "table": f"{self.dataset}.{table}"},
+                "path": None,
+                "partition_by": list(partition_by or []),
+            }
+        return {
+            "format": self.fmt,
+            "mode": spark_mode,
+            "options": dict(self.options),
+            "path": self._table_path(table),
+            "partition_by": list(partition_by or []),
+        }
+
+    def reader_spec(
+        self, table: str, columns: list[str] | None = None, where: str | None = None
+    ) -> dict:
+        """The assembled read plan. For BigQuery the predicate travels as
+        the connector's ``filter`` option (server-side pushdown, reference
+        bigquery.py:71-85); for file formats it is a ``where`` Catalyst
+        pushes into the scan."""
+        if self.fmt == "bigquery":
+            options = {**self.options, "table": f"{self.dataset}.{table}"}
+            if where:
+                options["filter"] = where
+            return {
+                "format": "bigquery",
+                "options": options,
+                "path": None,
+                "columns": list(columns or []),
+                "where": None,
+            }
+        return {
+            "format": self.fmt,
+            "options": dict(self.options),
+            "path": self._table_path(table),
+            "columns": list(columns or []),
+            "where": where,
+        }
+
+    # -- execution -------------------------------------------------------
+
     def write_table(
         self,
         df: DataFrame,
@@ -54,12 +152,16 @@ class GoldCatalog:
         """Distributed load — reference semantics of ``write_bq_table``
         (WRITE_APPEND / WRITE_TRUNCATE; bigquery.py:105-141) without the
         driver-side ``toPandas()`` collect."""
-        writer = df.write.format("parquet").mode(
-            {"append": "append", "truncate": "overwrite", "overwrite": "overwrite"}[mode]
+        spec = self.writer_spec(table, mode, partition_by)
+        writer = df.write.format(spec["format"]).mode(spec["mode"]).options(
+            **spec["options"]
         )
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(self._table_path(table))
+        if spec["partition_by"]:
+            writer = writer.partitionBy(*spec["partition_by"])
+        if spec["path"] is not None:
+            writer.save(spec["path"])
+        else:
+            writer.save()
 
     def read_table(
         self,
@@ -69,12 +171,14 @@ class GoldCatalog:
         where: str | None = None,
     ) -> DataFrame:
         """Filtered read; predicate/columns push down into the parquet scan
-        (the connector-equivalent of reference bigquery.py:42-103)."""
-        df = spark.read.parquet(self._table_path(table))
-        if where:
-            df = df.where(where)
-        if columns:
-            df = df.select(*columns)
+        (or travel as connector options — reference bigquery.py:42-103)."""
+        spec = self.reader_spec(table, columns, where)
+        reader = spark.read.format(spec["format"]).options(**spec["options"])
+        df = reader.load(spec["path"]) if spec["path"] is not None else reader.load()
+        if spec["where"]:
+            df = df.where(spec["where"])
+        if spec["columns"]:
+            df = df.select(*spec["columns"])
         return df
 
     def read_latest_snapshot(
@@ -88,7 +192,7 @@ class GoldCatalog:
         (``WHERE DATE(c) = (SELECT MAX(DATE(c)) FROM t)``, bigquery.py:77-85),
         expressed as a self-join on the 1-row max (Catalyst decorrelates the
         scalar subquery to the same shape; broadcast of the 1-row side)."""
-        df = spark.read.parquet(self._table_path(table))
+        df = self.read_table(spark, table)
         latest = df.agg(F.max(F.col(date_col).cast("date")).alias("__latest"))
         return (
             df.join(F.broadcast(latest), F.col(date_col).cast("date") == F.col("__latest"))
