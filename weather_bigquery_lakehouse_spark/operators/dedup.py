@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .text import shingles_expr, tokens_expr
 
@@ -161,22 +160,28 @@ def lsh_candidate_pairs(
     banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
     )
+    # Materialize once (eager local checkpoint): the occupancy count and
+    # both self-join sides reference this frame, and without
+    # materialization Spark recomputes the whole tokenize→shingle→signature
+    # lineage per reference. Unlike `.cache()`, checkpoint blocks are
+    # released by the ContextCleaner when the frame is garbage-collected —
+    # repeated calls (the 29-query gate, bench loops) don't accumulate
+    # blocks in the CacheManager forever. The frame is tiny (n_bands rows ×
+    # ~40 B/doc); at warehouse scale this is a persisted signature table.
+    banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:
-        occupancy = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("__n", F.count(F.lit(1)).over(occupancy))
-            .where(F.col("__n") <= max_bucket_size)
+        # The cap costs one map-side-combined aggregate over the compact
+        # banded frame plus a broadcast anti-join — NOT an extra full
+        # shuffle of the rows (a windowed count would shuffle everything).
+        # Oversized buckets are by construction few, so the hot-key list
+        # broadcasts.
+        hot = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
             .drop("__n")
         )
-    # Materialize once (eager local checkpoint): the self-join references
-    # this frame twice, and without materialization Spark recomputes the
-    # whole tokenize→shingle→signature lineage per side. Unlike `.cache()`,
-    # checkpoint blocks are released by the ContextCleaner when the frame
-    # is garbage-collected — repeated calls (the 29-query gate, bench
-    # loops) don't accumulate blocks in the CacheManager forever. The frame
-    # is tiny (n_bands rows × ~40 B/doc); at warehouse scale this is a
-    # persisted signature table instead.
-    banded = banded.localCheckpoint(eager=True)
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
