@@ -167,6 +167,70 @@ def test_language_id_deterministic(spark):
     assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
 
 
+class TestTemporal:
+    def _frames(self, spark):
+        from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+        left = spark.createDataFrame(
+            [
+                (1, "u", "2024-01-01 10:00:00"),
+                (2, "u", "2024-01-01 12:00:00"),
+                (3, "u", "2024-01-01 09:00:00"),  # before any right row
+                (4, "v", "2024-01-01 11:00:00"),  # user with no right rows
+            ],
+            "event_id long, user string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                ("u", "2024-01-01 10:00:00", 100),
+                ("u", "2024-01-01 11:30:00", 200),
+            ],
+            "user string, r_ts string, r_val int",
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        return tp, left, right
+
+    def test_asof_join_strict(self, spark):
+        tp, left, right = self._frames(spark)
+        out = {
+            r["event_id"]: r["r_val"]
+            for r in tp.asof_join(left, right, "user", "ts", "r_ts", strict=True).collect()
+        }
+        # strict: the 10:00 left row must NOT see the 10:00 right row
+        assert out == {1: None, 2: 200, 3: None, 4: None}
+
+    def test_asof_join_inclusive(self, spark):
+        tp, left, right = self._frames(spark)
+        out = {
+            r["event_id"]: r["r_val"]
+            for r in tp.asof_join(left, right, "user", "ts", "r_ts", strict=False).collect()
+        }
+        assert out == {1: 100, 2: 200, 3: None, 4: None}
+
+    def test_asof_join_rejects_column_collision(self, spark):
+        tp, left, right = self._frames(spark)
+        bad = right.withColumnRenamed("r_val", "event_id")
+        with pytest.raises(ValueError, match="collide"):
+            tp.asof_join(left, bad, "user", "ts", "r_ts")
+
+    def test_sessionize_gaps(self, spark):
+        from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+        df = spark.createDataFrame(
+            [
+                ("u", "2024-01-01 10:00:00", 1.0),
+                ("u", "2024-01-01 10:20:00", 2.0),   # same session (gap 20m)
+                ("u", "2024-01-01 12:00:00", 4.0),   # new session (gap >30m)
+                ("v", "2024-01-01 10:00:00", 8.0),
+            ],
+            "user string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["user"], r["session_idx"]): (r["n_events"], r["total_value"])
+            for r in tp.sessionize(df, "user", "ts", gap_seconds=1800, value_col="value").collect()
+        }
+        assert out == {("u", 1): (2, 3.0), ("u", 2): (1, 4.0), ("v", 1): (1, 8.0)}
+
+
 def test_multimodal_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         mm.decode_image_stub(b"abc")

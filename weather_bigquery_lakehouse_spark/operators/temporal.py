@@ -1,0 +1,125 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionization.
+
+Both are expressed so ONE hash shuffle on the entity key does all the work
+— the shapes that survive a 100× scale-up:
+
+  as-of join      — the classic distributed formulation: tag both inputs,
+                    union them, and run a single `last(ignorenulls)` window
+                    over (key, time). Each right row is seen exactly once;
+                    there is no range-join candidate explosion and no
+                    per-row probe. Cost = one shuffle by key + one sort
+                    within partitions (what a sort-merge join would pay
+                    anyway). A range join (t BETWEEN x AND y) would be the
+                    alternative; for "latest value at or before t" the
+                    union+window plan strictly dominates it.
+  sessionization  — gaps-and-islands: lag → new-session marker → running
+                    sum, all inside one window over (key, time), then one
+                    aggregate keyed by (key, session). Same single shuffle,
+                    reused by the window AND the aggregate.
+
+Time comparisons are done in integer microseconds (`unix_micros`) so the
+semantics are exact and portable to the DuckDB oracle (epoch_us), with no
+sub-second truncation surprises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (strict: <) within the same ``on`` group —
+    LEFT semantics (unmatched left rows keep NULLs). Right's non-key
+    columns (including ``right_ts``) are appended; they must not collide
+    with left's column names (rename on the way in).
+
+    Plan: union of tagged inputs → one window over (on, time, tag) taking
+    ``last(col, ignorenulls=True)`` → keep left rows. At equal timestamps
+    the tag ordering decides visibility: strict sorts the left row FIRST
+    (same-instant right rows invisible), non-strict sorts it last."""
+    value_cols = [c for c in right.columns if c not in (on, right_ts)] + [right_ts]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right columns collide with left: {sorted(clash)}")
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+
+    l_shaped = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(left_tag).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_shaped = right.select(
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        F.col(right_ts).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        *value_cols,
+    )
+    unioned = l_shaped.unionByName(r_shaped)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        "__tag",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.where(F.col("__tag") == left_tag).drop("__tag")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event of the same key exceeds ``gap_seconds``. Returns
+    one row per (key, session): ``session_idx`` (1-based per key),
+    ``n_events``, ``session_start``, ``session_end`` and, when
+    ``value_col`` is given, ``total_value`` (exact decimal sum → double).
+
+    This is the batch twin of a streaming session window
+    (``applyInPandasWithState`` / session_window) — identical output on a
+    closed input set, single shuffle, no Python."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(
+        prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn("__new", is_new).withColumn(
+        "session_idx", F.sum("__new").over(run).cast("bigint")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return marked.groupBy(key_col, "session_idx").agg(*aggs)

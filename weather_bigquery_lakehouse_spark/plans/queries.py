@@ -560,3 +560,87 @@ def hourly_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal operators Spark lacks as built-ins (operators/temporal.py):
+# distributed as-of join + gaps-and-islands sessionization
+# --------------------------------------------------------------------------
+
+_SQL_ASOF = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, c.click_event_id, c.click_ts
+FROM events e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+"""
+
+
+@_register(
+    "asof_last_click",
+    _SQL_ASOF,
+    "as-of join: each event paired with the user's most recent STRICTLY "
+    "prior click — union+window formulation (one shuffle on the key, no "
+    "range-join candidate explosion); DuckDB's native ASOF JOIN is the oracle",
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = _views(spark, sf_dir, ["events"])["events"]
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    left = e.select("event_id", "user_id", "ts", "event_type")
+    return asof_join(
+        left, clicks, on="user_id", left_ts="ts", right_ts="click_ts", strict=True
+    )
+
+
+_SESSION_GAP_S = 6 * 3600
+
+_SQL_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@_register(
+    "sessionize_events",
+    _SQL_SESSIONIZE,
+    f"gaps-and-islands sessionization ({_SESSION_GAP_S // 3600}h inactivity "
+    "gap): lag → marker → running sum → per-session aggregate, ONE shuffle "
+    "on the user key reused by window and aggregate (batch twin of a "
+    "streaming session window)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sessionize
+
+    e = _views(spark, sf_dir, ["events"])["events"]
+    return sessionize(
+        e.select("user_id", "ts", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=_SESSION_GAP_S,
+        value_col="value",
+    )
