@@ -47,6 +47,35 @@ def test_streaming_rollup_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_dedup_state_survives_runs(spark, tmp_path):
+    """The dedup state store must carry the seen-set ACROSS runs via the
+    checkpoint: re-running against a grown zone emits only genuinely new
+    content, even when a new file repeats old text."""
+    from weather_bigquery_lakehouse_spark.streaming.ingest import run_dedup_stream
+
+    zone = tmp_path / "docs_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "docs_ckpt")
+    sink = str(tmp_path / "docs_sink")
+
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "alpha", "en", "s", 5), (3, "beta", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(zone / "f1"))
+    out1 = run_dedup_stream(spark, str(zone) + "/*", checkpoint_dir=ckpt, output_dir=sink)
+    assert out1.count() == 2  # alpha, beta (alpha's duplicate suppressed)
+
+    spark.createDataFrame(
+        [(4, "alpha", "en", "s", 5), (5, "gamma", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(zone / "f2"))
+    out2 = run_dedup_stream(spark, str(zone) + "/*", checkpoint_dir=ckpt, output_dir=sink)
+    # run 2 emits ONLY gamma (alpha suppressed by run-1 state); the sink is
+    # cumulative, and each digest appears exactly once across both runs.
+    shas = [r["text_sha"] for r in out2.collect()]
+    assert len(shas) == 3 and len(set(shas)) == 3
+
+
 def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
     src = tmp_path / "zone_src"
     tgt = str(tmp_path / "zone_tgt")

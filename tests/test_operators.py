@@ -167,6 +167,33 @@ def test_language_id_deterministic(spark):
     assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
 
 
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    """IVF with first-C-vectors centroids: on clustered data, cell-local
+    search recovers most exact neighbors (cluster mates share a cell)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for c in range(8):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(12):
+            # vec_ids 0..7 are the first vector of each cluster → centroids
+            vid = c if j == 0 else 8 + c * 11 + (j - 1)
+            rows.append((vid, [x + rng.uniform(-0.1, 0.1) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, probes, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(df, probes, n_cells=8, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 class TestTemporal:
     def _frames(self, spark):
         from weather_bigquery_lakehouse_spark.operators import temporal as tp
@@ -211,6 +238,37 @@ class TestTemporal:
         bad = right.withColumnRenamed("r_val", "event_id")
         with pytest.raises(ValueError, match="collide"):
             tp.asof_join(left, bad, "user", "ts", "r_ts")
+
+    def test_range_join_count_boundaries(self, spark):
+        """[t-W, t) semantics at exact boundaries: a right row exactly W
+        before is IN, a right row exactly at t is OUT — including when the
+        left row sits exactly on a bucket edge."""
+        from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+        left = spark.createDataFrame(
+            [
+                (1, "u", "2024-01-01 10:00:00"),  # exactly on the hour bucket edge
+                (2, "u", "2024-01-01 10:30:00"),
+                (3, "v", "2024-01-01 10:00:00"),  # no right rows for v
+            ],
+            "event_id long, user string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                ("u", "2024-01-01 09:00:00"),  # == t1 - W → counts for t1 only
+                ("u", "2024-01-01 09:59:59"),  # counts for t1 and t2
+                ("u", "2024-01-01 10:00:00"),  # == t1 → excluded for t1, counts for t2
+                ("u", "2024-01-01 10:30:00"),  # == t2 → excluded
+            ],
+            "user string, r_ts string",
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        out = {
+            r["event_id"]: r["n_in_range"]
+            for r in tp.range_join_count(
+                left, right, "user", "ts", "r_ts", window_seconds=3600
+            ).collect()
+        }
+        assert out == {1: 2, 2: 2, 3: 0}
 
     def test_sessionize_gaps(self, spark):
         from weather_bigquery_lakehouse_spark.operators import temporal as tp

@@ -69,6 +69,88 @@ def cosine_topk(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    by cosine similarity (tie → smaller cell id). The centroid set is tiny
+    (IVF uses √n cells), so the assignment is a broadcast join followed by
+    ONE map-side-combinable aggregate per vector — no window sort, and the
+    shuffle carries one row per (vector, centroid) pair reduced to one row
+    per vector by the partial aggregation."""
+    sim = F.round(
+        _dot(F.col(vec_col), F.col(centroid_vec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(centroid_vec_col))),
+        SIM_DECIMALS,
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct((-sim).alias("neg_sim"), F.col(centroid_id_col).alias("cid")).alias(
+            "__cand"
+        ),
+    )
+    # lexicographic struct MIN = highest similarity, then smallest cell id
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.min("__cand").getField("cid").alias("cell_id"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus and probes are coarse-quantized to
+    ``n_cells`` centroid cells; each probe scores only its own cell's
+    inverted list. The cell join is a plain equi-join — work scales with
+    cell occupancy (~n/n_cells), not corpus × probes.
+
+    Centroids here are the first ``n_cells`` corpus vectors — a
+    deterministic, oracle-checkable stand-in for an offline k-means
+    training step (at production scale: train centroids on a sample,
+    broadcast them; everything downstream is unchanged)."""
+    centroids = embeddings.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+    c = assign_cells(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        centroids,
+        id_col="neighbor_id",
+    ).withColumnRenamed(vec_col, "__c")
+    q = assign_cells(
+        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        centroids,
+        id_col="query_id",
+    ).withColumnRenamed(vec_col, "__q")
+    sim = F.round(
+        _dot(F.col("__q"), F.col("__c")) / (_norm(F.col("__q")) * _norm(F.col("__c"))),
+        SIM_DECIMALS,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(vec · plane_b).
     ``planes`` are fixed (seeded) constants, so the expression is pure and

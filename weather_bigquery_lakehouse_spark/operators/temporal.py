@@ -81,6 +81,52 @@ def asof_join(
     return filled.where(F.col("__tag") == left_tag).drop("__tag")
 
 
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, count right rows of the same ``on`` key whose
+    timestamp falls in ``[left_ts - window, left_ts)``. Left rows with no
+    matches are kept with count 0. Left rows must be distinct.
+
+    A naive theta-join (t BETWEEN a AND b) degenerates to a per-key
+    cartesian product. This is the bucketized range join: both sides are
+    binned to window-width buckets (integer division — exact, no
+    double-rounding at boundaries), the left row probes its own and the
+    previous bucket (any interval of width W overlaps ≤ 2 such buckets),
+    and the join is a plain equi-join on (key, bucket) with the exact range
+    predicate attached. Work scales with bucket occupancy, not |left|×|right|
+    per key."""
+    w_us = window_seconds * 1_000_000
+    lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    l_shaped = left.select(*left.columns, lm.alias("__lm")).select(
+        "*", F.expr(f"explode(array(__lm div {w_us} - 1, __lm div {w_us}))").alias("__b")
+    )
+    r_shaped = right.select(
+        F.col(on).alias("__rk"), rm.alias("__rm")
+    ).select("*", F.expr(f"__rm div {w_us}").alias("__b"))
+
+    a, b = l_shaped.alias("a"), r_shaped.alias("b")
+    joined = a.join(
+        b,
+        (F.col(f"a.{on}") == F.col("b.__rk"))
+        & (F.col("a.__b") == F.col("b.__b"))
+        & (F.col("b.__rm") >= F.col("a.__lm") - w_us)
+        & (F.col("b.__rm") < F.col("a.__lm")),
+        "left_outer",
+    )
+    return joined.groupBy(*[F.col(f"a.{c}") for c in left.columns]).agg(
+        F.count(F.col("b.__rm")).alias(count_name)
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

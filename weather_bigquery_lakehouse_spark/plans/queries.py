@@ -599,6 +599,43 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id, e.ts, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+@_register(
+    "range_join_clicks_before_purchase",
+    _SQL_RANGE_JOIN,
+    "bucketized range join: clicks in the hour before each purchase, per "
+    "user — window-width binning + equi-join on (key, bucket) instead of a "
+    "per-key cartesian theta-join; zero-match rows kept",
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_count
+
+    e = _views(spark, sf_dir, ["events"])["events"]
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return range_join_count(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        window_seconds=3600,
+        count_name="n_clicks_1h",
+    )
+
+
 _SESSION_GAP_S = 6 * 3600
 
 _SQL_SESSIONIZE = f"""

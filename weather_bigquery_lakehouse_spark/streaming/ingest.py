@@ -21,7 +21,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS
+from ..schemas import DOCUMENTS, EVENTS
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file-stream source lists a DIRECTORY; wrap a bare file in a temp
+    dir via symlink (zero copy). Local-filesystem convenience for the test
+    harness — real zones are directories already."""
+    if os.path.isfile(path):
+        zone = tempfile.mkdtemp(prefix="wbl_stream_src_")
+        os.symlink(path, os.path.join(zone, os.path.basename(path)))
+        return zone
+    return path
 
 
 def run_hourly_rollup_stream(
@@ -38,12 +49,7 @@ def run_hourly_rollup_stream(
     (watermark never passes it on a finite stream)."""
     name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
-    if os.path.isfile(events_path):
-        # The file-stream source lists a DIRECTORY; wrap a bare file in a
-        # temp dir via symlink (zero copy).
-        zone = tempfile.mkdtemp(prefix="wbl_stream_src_")
-        os.symlink(events_path, os.path.join(zone, os.path.basename(events_path)))
-        events_path = zone
+    events_path = _as_stream_dir(events_path)
     stream = spark.readStream.schema(EVENTS).parquet(events_path).withColumn(
         # raw INT64 nanos → microsecond-truncated naive timestamp
         # (same conversion as the batch loader, io/readers.py)
@@ -74,6 +80,45 @@ def run_hourly_rollup_stream(
         FROM {name}
         """
     )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    documents_path: str,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Stateful streaming exact dedup: ``dropDuplicates`` on the content
+    digest over an AvailableNow document stream — each digest is emitted
+    the first time it is seen and suppressed afterwards, with the seen-set
+    held in the state store across micro-batches (and across RUNS via the
+    checkpoint: re-running against a grown zone emits only new content).
+
+    Append output mode is correct here (unlike the windowed rollup):
+    dedup emits rows immediately, nothing is withheld by a watermark. The
+    sink is a real parquet zone (a memory sink cannot recover from a
+    checkpoint in append mode), so the returned frame is the CUMULATIVE
+    distinct-digest set across all runs — deterministic regardless of
+    arrival order, which is what the batch oracle checks."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_dedup_")
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .parquet(_as_stream_dir(documents_path))
+        .where(F.col("text").isNotNull())
+        .select(F.sha2(F.trim(F.col("text")), 256).alias("text_sha"))
+        .dropDuplicates(["text_sha"])
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.schema("text_sha string").parquet(output)
 
 
 def incremental_zone_ingest(
