@@ -76,6 +76,54 @@ def test_streaming_dedup_state_survives_runs(spark, tmp_path):
     assert len(shas) == 3 and len(set(shas)) == 3
 
 
+def test_stateful_session_stream_across_runs(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): sessions close —
+    and are emitted — only when a later event exceeds the gap, with the
+    open session carried in the state store ACROSS runs."""
+    import pandas as pd
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import run_session_stream
+
+    zone = tmp_path / "ev_zone"
+    zone.mkdir()
+    ckpt, sink = str(tmp_path / "ev_ckpt"), str(tmp_path / "ev_sink")
+
+    def evfile(name, rows):
+        data = [
+            (i, int(pd.Timestamp(ts).value), 1, "click", float(v), "{}")
+            for i, (ts, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).write.parquet(str(zone / name))
+
+    evfile("f1", [("2024-01-01 10:00:00", 1), ("2024-01-01 10:20:00", 2), ("2024-01-01 18:00:00", 4)])
+    out1 = run_session_stream(
+        spark, str(zone) + "/*", gap_seconds=6 * 3600, checkpoint_dir=ckpt, output_dir=sink
+    )
+    got1 = [
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in out1.collect()
+    ]
+    # only the CLOSED session is emitted; the 18:00 session stays in state
+    assert got1 == [("2024-01-01 10:00:00", "2024-01-01 10:20:00", 2, 3.0)]
+
+    evfile("f2", [("2024-01-01 23:00:00", 8), ("2024-01-02 09:00:00", 16)])
+    out2 = run_session_stream(
+        spark, str(zone) + "/*", gap_seconds=6 * 3600, checkpoint_dir=ckpt, output_dir=sink
+    )
+    got2 = {
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in out2.collect()
+    }
+    # run 2: 23:00 EXTENDED the open session from run 1 (state survived),
+    # then 09:00 closed it. The 09:00 session remains open in state.
+    assert got2 == {
+        ("2024-01-01 10:00:00", "2024-01-01 10:20:00", 2, 3.0),
+        ("2024-01-01 18:00:00", "2024-01-01 23:00:00", 2, 12.0),
+    }
+
+
 def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
     src = tmp_path / "zone_src"
     tgt = str(tmp_path / "zone_tgt")

@@ -121,6 +121,105 @@ def run_dedup_stream(
     return spark.read.schema("text_sha string").parquet(output)
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
+    "n_events bigint, total_value double"
+)
+# total held in integer CENTS: exact accumulation, and bit-identical to
+# the oracle's SUM(CAST(value AS DECIMAL(18,2))) → DOUBLE on emission
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total_cents long"
+
+
+def run_session_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_seconds: int = 6 * 3600,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the engine shape for stateful logic the
+    built-in windowed aggregates can't express.
+
+    State per user = the OPEN session (start/last timestamps in integer
+    microseconds, event count, value sum). An arriving event either extends
+    it or — when the gap exceeds ``gap_seconds`` — CLOSES it: the closed
+    session is emitted (append mode) and a fresh one opens. Sessions still
+    open at end-of-stream stay in the state store and keep accumulating on
+    the next run via the checkpoint, exactly like a live stream. The batch
+    twin is ``operators.temporal.sessionize`` (identical closing rule);
+    on a closed input the emitted set is the batch result minus each
+    user's final (still-open) session.
+
+    Events are assumed in order per run (the AvailableNow zone replay);
+    within a batch they are sorted explicitly. A production deployment adds
+    a watermark + event-time timeout to bound state for dead users."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_sess_")
+    gap_us = gap_seconds * 1_000_000
+
+    def _micros(ts: pd.Series) -> pd.Series:
+        vals = pd.to_datetime(ts)
+        ints = vals.astype("int64")
+        return ints // 1000 if vals.dtype.name.endswith("[ns]") else ints
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        start_us = last_us = None
+        n, cents = 0, 0
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        closed: list[tuple] = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for us, value in zip(_micros(rows["ts"]), rows["value"]):
+            us, c = int(us), round(float(value) * 100)
+            if start_us is None:
+                start_us, last_us, n, cents = us, us, 1, c
+            elif us - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n, cents / 100.0))
+                start_us, last_us, n, cents = us, us, 1, c
+            else:
+                last_us, n, cents = us, n + 1, cents + c
+        state.update((start_us, last_us, n, cents))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .parquet(_as_stream_dir(events_path))
+        .withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+        .select("user_id", "ts", "value")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(SESSION_OUT_SCHEMA).parquet(output)
+
+
 def incremental_zone_ingest(
     spark: SparkSession,
     source_dir: str,
