@@ -289,6 +289,29 @@ class TestTemporal:
         assert out == {("u", 1): (2, 3.0), ("u", 2): (1, 4.0), ("v", 1): (1, 8.0)}
 
 
+def test_salted_join_equals_plain_join(spark):
+    """The salt must change only the shuffle layout, never the result —
+    including duplicate left rows (same hash → same salt) and left-outer
+    unmatched rows."""
+    from weather_bigquery_lakehouse_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "cold") for i in range(50)] + [("orphan", 0)],
+        "k string, i long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("unused", 9.9)], "k string, v double"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            ((r["k"], r["i"], r["v"]) for r in salted_join(left, right, "k", 4, how).collect())
+        )
+        want = sorted(
+            ((r["k"], r["i"], r["v"]) for r in left.join(right, "k", how).collect())
+        )
+        assert got == want, how
+
+
 def test_multimodal_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         mm.decode_image_stub(b"abc")

@@ -562,6 +562,39 @@ def hourly_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_PS = [0.25, 0.5, 0.75, 0.95]
+
+# ROUND(…, 6) on both sides: Spark and DuckDB use the same linear
+# interpolation definition but may associate the fp arithmetic
+# differently; 6 decimals removes the last-ulp hazard.
+_SQL_QUANTILES = "SELECT " + ", ".join(
+    f"ROUND(quantile_cont(l_quantity, {p}), 6) AS qty_p{int(p * 100)}, "
+    f"ROUND(quantile_cont(l_extendedprice, {p}), 6) AS price_p{int(p * 100)}"
+    for p in _QUANTILE_PS
+) + " FROM lineitem"
+
+
+@_register(
+    "quantiles_lineitem",
+    _SQL_QUANTILES,
+    "exact interpolated quantiles (profiling extension of A4): one "
+    "aggregate job computes every requested percentile of every column",
+)
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _views(spark, sf_dir, ["lineitem"])["lineitem"]
+    aggs = []
+    for p in _QUANTILE_PS:
+        aggs.append(
+            F.round(F.percentile("l_quantity", F.lit(p)), 6).alias(f"qty_p{int(p * 100)}")
+        )
+        aggs.append(
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(
+                f"price_p{int(p * 100)}"
+            )
+        )
+    return li.agg(*aggs)
+
+
 # --------------------------------------------------------------------------
 # Temporal operators Spark lacks as built-ins (operators/temporal.py):
 # distributed as-of join + gaps-and-islands sessionization
