@@ -128,6 +128,35 @@ def test_ensure_dir_hadoop_fs(spark, tmp_path):
     assert ensure_dir(spark, target) is False  # already exists → no-op
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
+    """Co-located join: both sides bucketed+sorted by the join key into the
+    same bucket count → the sort-merge join needs NO exchange and NO sort."""
+    from weather_bigquery_lakehouse_spark.io.readers import load_testdata
+    from weather_bigquery_lakehouse_spark.io.writers import write_bucketed_table
+
+    t = load_testdata(spark, sf_dir, ["orders", "customer"])
+    write_bucketed_table(t["orders"], "b_orders", str(tmp_path / "bo"), 8, "o_custkey")
+    write_bucketed_table(t["customer"], "b_customer", str(tmp_path / "bc"), 8, "c_custkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # result parity with the plain (shuffled) join
+        assert joined.count() == t["orders"].join(
+            t["customer"], F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_upload_if_new_year(spark, tmp_path):
     cat = GoldCatalog(str(tmp_path / "wh2"))
     df = spark.createDataFrame([(1, "2024-03-01")], "id int, _ingestion_date string")
