@@ -124,6 +124,51 @@ def test_stateful_session_stream_across_runs(spark, tmp_path):
     }
 
 
+def test_watermarked_rollup_drops_late_events(spark, tmp_path):
+    """Append-mode watermark contract: a window is emitted once, after the
+    watermark passes its end, and events later than the watermark are
+    dropped instead of mutating the emitted window."""
+    import pandas as pd
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_watermarked_rollup_stream,
+    )
+
+    zone = tmp_path / "wm_zone"
+    zone.mkdir()
+    ckpt, sink = str(tmp_path / "wm_ckpt"), str(tmp_path / "wm_sink")
+
+    def evfile(name, rows):
+        data = [
+            (i, int(pd.Timestamp(ts).value), 1, "click", float(v), "{}")
+            for i, (ts, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).write.parquet(str(zone / name))
+
+    evfile("f1", [("2024-01-01 10:05:00", 1), ("2024-01-01 10:55:00", 2), ("2024-01-01 12:30:00", 4)])
+    out1 = run_watermarked_rollup_stream(
+        spark, str(zone) + "/*", delay="1 hour", checkpoint_dir=ckpt, output_dir=sink
+    )
+    got1 = {str(r["hour_start"]): (r["n_events"], r["total_value"]) for r in out1.collect()}
+    # watermark reached 11:30 → only the 10:00 window is finalized
+    assert got1 == {"2024-01-01 10:00:00": (2, 3.0)}
+
+    # a LATE event for the already-emitted 10:00 window + a fresh event
+    evfile("f2", [("2024-01-01 10:10:00", 8), ("2024-01-01 14:30:00", 16)])
+    out2 = run_watermarked_rollup_stream(
+        spark, str(zone) + "/*", delay="1 hour", checkpoint_dir=ckpt, output_dir=sink
+    )
+    got2 = {str(r["hour_start"]): (r["n_events"], r["total_value"]) for r in out2.collect()}
+    # late 10:10 dropped (10:00 window unchanged, not re-emitted);
+    # watermark reached 13:30 → 12:00 window finalized; 14:00 still open
+    assert got2 == {
+        "2024-01-01 10:00:00": (2, 3.0),
+        "2024-01-01 12:00:00": (1, 4.0),
+    }
+
+
 def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
     src = tmp_path / "zone_src"
     tgt = str(tmp_path / "zone_tgt")

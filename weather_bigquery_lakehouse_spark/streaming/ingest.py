@@ -121,6 +121,53 @@ def run_dedup_stream(
     return spark.read.schema("text_sha string").parquet(output)
 
 
+def run_watermarked_rollup_stream(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling rollup in APPEND mode — the late-data contract:
+    a 1h window is emitted (once, immutably) only after the watermark
+    (max event time − ``delay``) passes its end, and events arriving later
+    than the watermark are DROPPED rather than mutating an already-emitted
+    window. This is the unbounded-stream shape — state is bounded by the
+    watermark horizon — where the complete-mode twin
+    (``run_hourly_rollup_stream``) re-emits everything and suits finite
+    replays. Parquet sink: each run appends the windows it finalized."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_wm_")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .parquet(_as_stream_dir(events_path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            F.col("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(
+        "hour_start timestamp, n_events bigint, total_value double"
+    ).parquet(output)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
     "n_events bigint, total_value double"
