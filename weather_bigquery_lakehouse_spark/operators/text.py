@@ -122,3 +122,32 @@ def fingerprint(
         F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fingerprint"),
         F.size("__sh").cast("bigint").alias("n_shingles"),
     )
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Canonical text normalization for corpus prep: strip URLs, drop
+    non-printable-ASCII characters, collapse whitespace runs, lowercase,
+    trim. Plain-ASCII regexes only, so the expression means the same thing
+    under Java regex (Spark) and RE2 (DuckDB) — the oracle-portability
+    constraint."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_urls = F.regexp_replace(c, r"https?://[^\s]+", " ")
+    printable = F.regexp_replace(no_urls, r"[^ -~]", " ")
+    collapsed = F.regexp_replace(printable, r"\s+", " ")
+    return F.lower(F.trim(collapsed))
+
+
+def train_val_split_expr(
+    id_col: Column | str, val_fraction_pct: int = 10
+) -> Column:
+    """Deterministic train/val assignment: bucket = md5(id) mod 100, rows
+    with bucket < ``val_fraction_pct`` are 'val'. Content-addressed and
+    engine-portable — the correct splitter at 100 TB, where ``rand()`` is
+    irreproducible across retries/partitions and sorting for a slice is a
+    global shuffle. The same id lands in the same split in every engine,
+    run, and cluster layout."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint") % 100
+    )
+    return F.when(bucket < val_fraction_pct, F.lit("val")).otherwise(F.lit("train"))

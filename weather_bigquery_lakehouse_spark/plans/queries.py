@@ -28,11 +28,8 @@ from ..io.readers import load_testdata
 from ..functions.dates import parse_date_multi
 from ..functions.cleaning import drop_null_rows, trim_strings, dedupe_rows
 from ..functions.profiling import consistency_violations, profile, distinct_counts
-from ..functions.keys import composite_key, surrogate_key
+from ..functions.keys import surrogate_key
 from ..operators.star_schema import build_dim_conformed, build_dim_distinct, build_fact
-from ..operators import dedup as dd
-from ..operators import text as tx
-from ..operators import similarity as sim
 
 
 @dataclass(frozen=True)
