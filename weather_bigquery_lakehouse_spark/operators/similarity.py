@@ -151,6 +151,45 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup flavor of
+    similarity search): vectors are hyperplane-LSH-bucketed, candidates are
+    the within-bucket self-join (id_a < id_b), and pairs scoring
+    cosine ≥ ``threshold`` survive. Same shuffle shape as MinHash-LSH
+    dedup — work ∝ bucket occupancy, never all-pairs. High-cosine pairs
+    agree on most hyperplane signs, so they co-bucket with high
+    probability; recall follows the LSH trade documented on
+    ``lsh_bucketed_topk``."""
+    v = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = v.select(
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        SIM_DECIMALS,
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(vec · plane_b).
     ``planes`` are fixed (seeded) constants, so the expression is pure and
