@@ -79,7 +79,7 @@ def shingle_int_expr(shingle: Column) -> Column:
     return h % MINHASH_P
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) rows with per-doc-distinct shingles.
 
     Two deliberate plan choices:
@@ -99,7 +99,7 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
     return toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_expr(F.col("__toks")))).alias("shingle"),
+        F.explode(F.array_distinct(shingles_expr(F.col("__toks"), k))).alias("shingle"),
     )
 
 
@@ -143,6 +143,16 @@ def lsh_candidate_pairs(
     expansion of any one bucket at max_bucket_size²/2 instead of letting a
     viral duplicate cluster go quadratic. Pass ``None`` to disable."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    return _candidate_pairs_from_sig(sig, id_col, n_hashes, band_rows, max_bucket_size)
+
+
+def _candidate_pairs_from_sig(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_rows: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
@@ -212,7 +222,16 @@ def ngram_jaccard_pairs(
     # Materialized once — referenced three times below (sizes + both join
     # sides). localCheckpoint instead of cache() so blocks are released on
     # GC rather than pinned in the CacheManager across repeated calls.
-    sh = _doc_shingles(df, text_col, id_col).localCheckpoint(eager=True)
+    sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
+    return _jaccard_from_shingles(sh, id_col, threshold, candidates)
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None,
+) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -239,6 +258,38 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    k: int = 3,
+) -> DataFrame:
+    """FUSED near-dup pipeline: LSH candidate generation ∘ exact Jaccard
+    verification sharing ONE materialized shingle frame. Composing
+    ``lsh_candidate_pairs`` + ``ngram_jaccard_pairs(candidates=…)``
+    naively tokenizes and shingles the corpus twice — the CPU-heaviest
+    stage, so at 100 TB the fusion halves the dominant cost. Results are
+    identical to the composition by construction (both stages derive from
+    the same shingle rows)."""
+    sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
+    exploded = sh.select(
+        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    candidates = _candidate_pairs_from_sig(
+        sig, id_col, n_hashes, band_rows, max_bucket_size
+    )
+    return _jaccard_from_shingles(sh, id_col, threshold, candidates)
 
 
 def simhash(
