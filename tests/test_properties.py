@@ -73,6 +73,35 @@ def test_sessionize_matches_reference(spark, rows):
     assert got == _ref_sessions(rows)
 
 
+def _ref_range_count(left, right, window):
+    out = {}
+    for u, t in left:
+        out[(u, t)] = sum(
+            1 for ru, rt in right if ru == u and t - window <= rt < t
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_events, _events)
+def test_range_join_count_matches_reference(spark, left_rows, right_rows):
+    from weather_bigquery_lakehouse_spark.operators.temporal import range_join_count
+
+    left = spark.createDataFrame(
+        [(u, _ts(t)) for u, t in left_rows], "user long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(u, _ts(t)) for u, t in right_rows], "user long, r_ts timestamp"
+    )
+    got = {
+        (r["user"], int((r["ts"] - EPOCH).total_seconds())): r["n_in_range"]
+        for r in range_join_count(
+            left, right, "user", "ts", "r_ts", window_seconds=GAP
+        ).collect()
+    }
+    assert got == _ref_range_count(left_rows, right_rows, GAP)
+
+
 def _ref_asof(left, right, strict):
     out = {}
     for u, t in left:
