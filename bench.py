@@ -7,12 +7,18 @@ Prints ONE JSON line:
 
 Each query materializes fully via the `noop` sink (no driver collect, no
 result truncation — the honest cost of computing the whole answer).
+
+Each query runs REPS times and reports the per-query MEDIAN, so one noisy
+run (CPU contention from a co-tenant process) can't masquerade as a plan
+regression — round-2's recorded bench was ~40% inflated across the board
+by exactly that. Raw per-rep timings ship in "runs" for auditability.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,29 +70,39 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    def run(names: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def run(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
+        medians: dict[str, float] = {}
+        raw: dict[str, list[float]] = {}
         for name in names:
             fn = QUERIES[name].fn
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        return timings
+            times: list[float] = []
+            for _ in range(reps):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                times.append(round(time.perf_counter() - start, 3))
+            raw[name] = times
+            medians[name] = round(statistics.median(times), 3)
+        return medians, raw
 
-    timings = run(HEADLINE)
-    extended = run(EXTENDED)
+    timings, runs = run(HEADLINE)
+    extended, extended_runs = run(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop-materialized",
+                "metric": "headline query wall-clock, noop-materialized, median of %d" % reps,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "runs": runs,
+                "extended_runs": extended_runs,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -17,6 +17,8 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+from pyspark.sql import types as T
+
 from weather_bigquery_lakehouse_spark.session import build_session
 
 TABLES = [
@@ -41,6 +43,26 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _has_decimal(dtype) -> bool:
+    """True if any (possibly nested) field is DECIMAL-typed.
+
+    Registry rule: exact decimal math INSIDE a query, DOUBLE at the output
+    boundary. The driver's hasher renders DECIMAL differently per engine
+    (round-2 lesson: filter_project_pushdown was value-identical yet
+    hash-failed solely on its DECIMAL(18,4) output column), so any
+    DecimalType in a registered query's schema is an automatic local FAIL.
+    """
+    if isinstance(dtype, T.DecimalType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(_has_decimal(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _has_decimal(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_decimal(dtype.keyType) or _has_decimal(dtype.valueType)
+    return False
 
 
 def value_hash(rows, colnames) -> str:
@@ -73,6 +95,15 @@ def main() -> int:
             scols = sdf.columns
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        bad_decimal = [f.name for f in sdf.schema.fields if _has_decimal(f.dataType)]
+        if bad_decimal:
+            print(
+                f"FAIL {name}: DECIMAL-typed output column(s) {bad_decimal} — "
+                "cast to DOUBLE at the output boundary (driver hash diverges "
+                "on DECIMAL)"
+            )
             failures += 1
             continue
         if name not in oracles:

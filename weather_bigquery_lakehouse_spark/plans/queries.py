@@ -60,8 +60,8 @@ def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, Dat
 
 _SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber, l_extendedprice,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS disc_price
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_discount > 0.05
 """
@@ -88,11 +88,16 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal arithmetic — bit-identical across engines.
             # Double arithmetic + a final decimal cast is NOT portable: the
             # engines disagree on the rounding mode at the 4th decimal.
+            # Output type is DOUBLE, not DECIMAL: the driver's value hasher
+            # renders DECIMAL differently per engine, so the registry rule is
+            # "exact decimal math inside, DOUBLE at the boundary" — the
+            # scale-4 decimals convert to identical doubles in both engines.
             (
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
             )
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("disc_price"),
         )
     )
