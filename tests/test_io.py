@@ -78,6 +78,24 @@ def test_gold_catalog_append_truncate_latest(spark, tmp_path):
     assert cat.read_table(spark, "fact", columns=["id"], where="id = 1").count() == 1
 
 
+def test_truncate_replaces_stale_partitions(spark, tmp_path):
+    """WRITE_TRUNCATE means whole-table replacement (reference
+    bigquery.py:105-141). The session's dynamic partitionOverwriteMode must
+    not leak in: a truncate whose frame lacks day-1's partition still
+    removes day-1."""
+    cat = GoldCatalog(str(tmp_path / "warehouse"))
+    d1 = spark.createDataFrame([(1, "2024-01-01")], "id int, _ingestion_date string")
+    d2 = spark.createDataFrame([(2, "2024-06-01")], "id int, _ingestion_date string")
+    cat.write_table(d1, "fact", mode="append", partition_by=["_ingestion_date"])
+    cat.write_table(d2, "fact", mode="truncate", partition_by=["_ingestion_date"])
+    rows = cat.read_table(spark, "fact").collect()
+    # partition values read back type-inferred (date), so compare as str
+    assert [(r["id"], str(r["_ingestion_date"])) for r in rows] == [(2, "2024-06-01")]
+    # the per-writer override must not appear on non-truncate writes
+    assert "partitionOverwriteMode" not in cat.writer_spec("fact", "overwrite", ["d"])["options"]
+    assert cat.writer_spec("fact", "truncate", ["d"])["options"]["partitionOverwriteMode"] == "static"
+
+
 def test_bigquery_connector_assembly(tmp_path):
     """S11/S12 behind the format flag: the catalog must assemble the public
     spark-bigquery-connector plan (format + table/filter options, no path,

@@ -233,6 +233,28 @@ class TestTemporal:
         }
         assert out == {1: 100, 2: 200, 3: None, 4: None}
 
+    def test_asof_join_null_values_not_torn(self, spark):
+        """A genuine NULL in the matched right row must survive, and the
+        attached columns must all come from THAT row — per-column
+        last(ignorenulls) fills would resurrect an older non-null for the
+        NULL column while taking the other column from the newer row."""
+        from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 12:00:00")],
+            "event_id long, user string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                ("u", "2024-01-01 10:00:00", 100, "old"),
+                ("u", "2024-01-01 11:00:00", None, "new"),  # the as-of match
+            ],
+            "user string, r_ts string, r_val int, r_tag string",
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        [row] = tp.asof_join(left, right, "user", "ts", "r_ts").collect()
+        assert row["r_tag"] == "new"
+        assert row["r_val"] is None  # NOT 100 from the older row
+
     def test_asof_join_rejects_column_collision(self, spark):
         tp, left, right = self._frames(spark)
         bad = right.withColumnRenamed("r_val", "event_id")
@@ -269,6 +291,29 @@ class TestTemporal:
             ).collect()
         }
         assert out == {1: 2, 2: 2, 3: 0}
+
+    def test_range_join_pre_epoch_timestamps(self, spark):
+        """Bucketing must be floor-consistent for negative epoch micros:
+        truncate-toward-zero division puts a pre-1970 right row one bucket
+        too HIGH, silently missing matches inside the window."""
+        from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+        left = spark.createDataFrame(
+            [(1, "u", "1969-12-31 23:30:00")],
+            "event_id long, user string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                ("u", "1969-12-31 23:00:00"),  # == t - W → in range
+                ("u", "1969-12-31 23:15:00"),  # in range
+                ("u", "1969-12-31 23:30:00"),  # == t → excluded
+            ],
+            "user string, r_ts string",
+        ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        [row] = tp.range_join_count(
+            left, right, "user", "ts", "r_ts", window_seconds=1800
+        ).collect()
+        assert row["n_in_range"] == 2
 
     def test_sessionize_gaps(self, spark):
         from weather_bigquery_lakehouse_spark.operators import temporal as tp

@@ -106,10 +106,20 @@ class GoldCatalog:
                 "path": None,
                 "partition_by": list(partition_by or []),
             }
+        options = dict(self.options)
+        if mode == "truncate" and partition_by:
+            # The session runs partitionOverwriteMode=dynamic (day-N zone
+            # writes must not clobber day-1 partitions), but the reference's
+            # WRITE_TRUNCATE (bigquery.py:105-141) means WHOLE-table
+            # replacement. Under dynamic mode a partitioned overwrite only
+            # replaces partitions present in the incoming frame — stale
+            # partitions would survive a "truncate". The per-writer option
+            # overrides the session conf for this write only.
+            options["partitionOverwriteMode"] = "static"
         return {
             "format": self.fmt,
             "mode": spark_mode,
-            "options": dict(self.options),
+            "options": options,
             "path": self._table_path(table),
             "partition_by": list(partition_by or []),
         }

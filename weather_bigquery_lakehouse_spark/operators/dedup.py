@@ -138,10 +138,13 @@ def lsh_candidate_pairs(
     so the shuffle routes each doc to exactly n_bands buckets.
 
     ``max_bucket_size`` is the scale guardrail: buckets holding more docs
-    than this are dropped BEFORE the self-join (a windowed count over the
-    same key the join shuffles on — no extra shuffle), bounding the pair
-    expansion of any one bucket at max_bucket_size²/2 instead of letting a
-    viral duplicate cluster go quadratic. Pass ``None`` to disable."""
+    than this are dropped BEFORE the self-join via a map-side-combined
+    occupancy count followed by a broadcast left-anti join on the hot
+    (band_idx, band_hash) keys — oversized buckets are by construction few,
+    so the hot-key list broadcasts and the banded rows are never reshuffled
+    for the cap. This bounds the pair expansion of any one bucket at
+    max_bucket_size²/2 instead of letting a viral duplicate cluster go
+    quadratic. Pass ``None`` to disable."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     return _candidate_pairs_from_sig(sig, id_col, n_hashes, band_rows, max_bucket_size)
 

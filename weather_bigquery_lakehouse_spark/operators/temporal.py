@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -46,25 +47,32 @@ def asof_join(
     Plan: union of tagged inputs → one window over (on, time, tag) taking
     ``last(col, ignorenulls=True)`` → keep left rows. At equal timestamps
     the tag ordering decides visibility: strict sorts the left row FIRST
-    (same-instant right rows invisible), non-strict sorts it last."""
+    (same-instant right rows invisible), non-strict sorts it last.
+
+    All right value columns are carried in ONE struct filled by a single
+    ``last(ignorenulls)``, so the attached values always come from the
+    same right row — per-column fills would stitch fields from DIFFERENT
+    right rows whenever a value column holds a genuine NULL (and would
+    resurrect an older non-null over that NULL)."""
     value_cols = [c for c in right.columns if c not in (on, right_ts)] + [right_ts]
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right columns collide with left: {sorted(clash)}")
     left_tag, right_tag = (0, 1) if strict else (1, 0)
 
+    rv_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
     l_shaped = left.select(
         *left.columns,
         F.col(left_ts).alias("__t"),
         F.lit(left_tag).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_shaped = right.select(
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
         F.col(right_ts).alias("__t"),
         F.lit(right_tag).alias("__tag"),
-        *value_cols,
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     unioned = l_shaped.unionByName(r_shaped)
 
@@ -76,9 +84,12 @@ def asof_join(
     filled = unioned.select(
         *[c for c in left.columns],
         "__tag",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv"),
     )
-    return filled.where(F.col("__tag") == left_tag).drop("__tag")
+    return (
+        filled.where(F.col("__tag") == left_tag)
+        .select(*left.columns, *[F.col(f"__rv.{c}").alias(c) for c in value_cols])
+    )
 
 
 def range_join_count(
@@ -96,8 +107,10 @@ def range_join_count(
 
     A naive theta-join (t BETWEEN a AND b) degenerates to a per-key
     cartesian product. This is the bucketized range join: both sides are
-    binned to window-width buckets (integer division — exact, no
-    double-rounding at boundaries), the left row probes its own and the
+    binned to window-width buckets (integer FLOOR division — exact, no
+    double-rounding at boundaries, and floor-consistent for pre-1970
+    negative epoch micros where SQL ``div``'s truncate-toward-zero would
+    put a row one bucket too high), the left row probes its own and the
     previous bucket (any interval of width W overlaps ≤ 2 such buckets),
     and the join is a plain equi-join on (key, bucket) with the exact range
     predicate attached. Work scales with bucket occupancy, not |left|×|right|
@@ -106,12 +119,19 @@ def range_join_count(
     lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rm = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
+    # Floor division in pure 64-bit integer math: pmod(x, W) ∈ [0, W), so
+    # (x - pmod(x, W)) is exactly divisible and the quotient is floor(x/W)
+    # for negative x too (no double rounding, unlike floor(x / W)).
+    fdiv = "(({x} - pmod({x}, {w})) div {w})"
+    l_b = fdiv.format(x="__lm", w=w_us)
+    r_b = fdiv.format(x="__rm", w=w_us)
+
     l_shaped = left.select(*left.columns, lm.alias("__lm")).select(
-        "*", F.expr(f"explode(array(__lm div {w_us} - 1, __lm div {w_us}))").alias("__b")
+        "*", F.expr(f"explode(array({l_b} - 1, {l_b}))").alias("__b")
     )
     r_shaped = right.select(
         F.col(on).alias("__rk"), rm.alias("__rm")
-    ).select("*", F.expr(f"__rm div {w_us}").alias("__b"))
+    ).select("*", F.expr(r_b).alias("__b"))
 
     a, b = l_shaped.alias("a"), r_shaped.alias("b")
     joined = a.join(
