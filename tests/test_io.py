@@ -96,6 +96,38 @@ def test_truncate_replaces_stale_partitions(spark, tmp_path):
     assert cat.writer_spec("fact", "truncate", ["d"])["options"]["partitionOverwriteMode"] == "static"
 
 
+def test_register_sql_front_door(spark, tmp_path):
+    """S10: gold tables are queryable BY NAME through spark.sql — the
+    reference's dataset DDL + SQL consumption surface (bigquery.py:7-17),
+    as an external metastore table over the parquet the catalog wrote."""
+    import pytest
+
+    cat = GoldCatalog(str(tmp_path / "warehouse"), dataset="gold_sql_test")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-06-01")], "id int, _ingestion_date string"
+    )
+    cat.write_table(df, "fact_weather", mode="append", partition_by=["_ingestion_date"])
+    name = cat.register_sql(spark, "fact_weather")
+    try:
+        assert name == "gold_sql_test.fact_weather"
+        got = spark.sql(
+            f"SELECT id FROM {name} WHERE _ingestion_date = '2024-06-01'"
+        ).collect()
+        assert [r["id"] for r in got] == [2]
+        # idempotent re-register; appended data visible through the name
+        cat.write_table(
+            spark.createDataFrame([(3, "2024-06-02")], df.schema),
+            "fact_weather", mode="append", partition_by=["_ingestion_date"],
+        )
+        cat.register_sql(spark, "fact_weather")
+        assert spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"] == 3
+        bq = GoldCatalog(str(tmp_path / "x"), fmt="bigquery")
+        with pytest.raises(ValueError, match="connector"):
+            bq.register_sql(spark, "fact_weather")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS gold_sql_test CASCADE")
+
+
 def test_bigquery_connector_assembly(tmp_path):
     """S11/S12 behind the format flag: the catalog must assemble the public
     spark-bigquery-connector plan (format + table/filter options, no path,

@@ -155,6 +155,60 @@ def test_forecast_fetch_runs_concurrently_within_bound():
     assert [r["url"] for r in rows] == [f"/{cid}/6" for cid in range(40)]
 
 
+def test_http_fetch_real_socket_roundtrip():
+    """S1–S3 end-to-end over a REAL socket: a local http.server serves
+    IBGE-shaped JSON; http_json_fetch drives CitySource through the bounded
+    fan-out. Covers success, 404-drop, timeout-drop, and the
+    space-in-city-name percent-encoding path — the reference's
+    data_ingestion.py:6-79 semantics without network access."""
+    import json
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import unquote
+
+    from weather_bigquery_lakehouse_spark.pipeline.sources import (
+        CitySource,
+        http_json_fetch,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            name = unquote(self.path.rsplit("/", 1)[-1])
+            if name == "missing city":
+                self.send_error(404)
+                return
+            if name == "slow city":
+                time.sleep(1.0)  # > client timeout → dropped
+            body = json.dumps({"id": 1, "nome": name}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}/city"
+        src = CitySource(fetch_fn=http_json_fetch(timeout=0.3), max_concurrent=4)
+        rows = src.city_rows(
+            ["Sao-Paulo", "missing-city", "slow-city", "Rio-Branco"], base_url=base
+        )
+        # '-' → ' ' normalization happened BEFORE the fetch; the server saw
+        # the decoded space, proving the adapter percent-encodes the path
+        assert [r["nome"] for r in rows] == ["Sao Paulo", "Rio Branco"]
+        assert src.stats.dropped == ["missing-city", "slow-city"]
+        assert src.stats.requested == 4 and src.stats.fetched == 2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_concurrent_fetch_drops_failures_in_order():
     from weather_bigquery_lakehouse_spark.pipeline.sources import ForecastSource
 

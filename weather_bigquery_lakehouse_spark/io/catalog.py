@@ -150,6 +150,42 @@ class GoldCatalog:
             "where": where,
         }
 
+    # -- SQL front door ---------------------------------------------------
+
+    def register_sql(self, spark: SparkSession, table: str) -> str:
+        """Expose a gold table to ``spark.sql`` as ``{dataset}.{table}`` —
+        the engine's version of the reference's dataset/table DDL +
+        SQL-consumption surface (bigquery.py:7-17 create-if-absent, then
+        Looker-style ``SELECT ... FROM dataset.table`` reads).
+
+        Registers an EXTERNAL table over the existing parquet directory
+        (no data copy; the files written by ``write_table`` ARE the table)
+        and repairs partition metadata so partitioned tables are fully
+        visible. Idempotent. Returns the qualified name.
+
+        Partition pruning still applies: ``WHERE`` on a partition column
+        of a registered table prunes directories exactly as the path-based
+        reads do. BigQuery-backed catalogs query through the connector,
+        not the metastore, so this is a file-format-only operation."""
+        if self.fmt == "bigquery":
+            raise ValueError(
+                "register_sql is for file-format catalogs; BigQuery tables "
+                "are addressed through the connector's table option"
+            )
+        qualified = f"{self.dataset}.{table}"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.dataset}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {qualified} "
+            f"USING {self.fmt} LOCATION '{self._table_path(table)}'"
+        )
+        # Discover hive-style partition directories written by path-based
+        # writes (no-op for unpartitioned tables).
+        try:
+            spark.sql(f"MSCK REPAIR TABLE {qualified}")
+        except Exception:
+            pass
+        return qualified
+
     # -- execution -------------------------------------------------------
 
     def write_table(

@@ -60,9 +60,34 @@ def _fetch_concurrent(
 def _no_network_fetch(url: str) -> Any:
     raise RuntimeError(
         "no HTTP client configured (this environment is offline); "
-        "inject fetch_fn=<callable returning parsed JSON> or use "
+        "inject fetch_fn=http_json_fetch() or use "
         "fixture_city_rows()/fixture_forecast_rows()"
     )
+
+
+def http_json_fetch(timeout: float = 10.0, headers: dict[str, str] | None = None) -> FetchFn:
+    """Build a real HTTP fetcher on the stdlib (no new dependencies):
+    GET → parse JSON — the engine's adapter for what the reference does
+    with requests/aiohttp (data_ingestion.py:6-79). Non-2xx responses,
+    timeouts, and connection errors raise, which `_fetch_concurrent`
+    converts into dropped-row accounting (the reference's lossy-tolerant
+    contract). Thread-safe: one urlopen per call, no shared state, so it
+    composes with the bounded thread-pool fan-out.
+
+    City names contain spaces/UTF-8 (name normalization maps '-' → ' ',
+    reference bronze_ingest.py:17), so the path is percent-encoded here
+    rather than at every call site."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    def fetch(url: str) -> Any:
+        safe = urllib.parse.quote(url, safe=":/?&=%")
+        req = urllib.request.Request(safe, headers=headers or {})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return _json.loads(resp.read().decode("utf-8"))
+
+    return fetch
 
 
 @dataclass
