@@ -57,6 +57,12 @@ EXTENDED = [
     "sessionize_events",
     "range_join_clicks_before_purchase",
     "cleaning_report_documents",
+    # round-3 curation/incremental operators
+    "decontaminate_ngram_overlap",
+    "tfidf_top_terms",
+    "merge_upsert_orders",
+    "embedding_quantize",
+    "train_shuffle_order",
 ]
 
 

@@ -1,0 +1,243 @@
+"""Unit tests for curation + incremental operators (semantics on small
+constructed frames; engine-vs-oracle parity is covered by the registry
+gate in tools/verify_oracle.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weather_bigquery_lakehouse_spark.operators import curation as cu
+from weather_bigquery_lakehouse_spark.operators import incremental as inc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+# --------------------------------------------------------------------------
+# merge_upsert
+# --------------------------------------------------------------------------
+
+
+def test_merge_upsert_updates_win_and_inserts(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame([(2, "B"), (9, "Z")], "k bigint, v string")
+    out = {r.k: r.v for r in inc.merge_upsert(base, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_merge_upsert_broadcast_variant_same_result(spark):
+    base = spark.createDataFrame([(i, "old") for i in range(20)], "k bigint, v string")
+    updates = spark.createDataFrame([(5, "new")], "k bigint, v string")
+    plain = inc.merge_upsert(base, updates, ["k"]).collect()
+    bcast = inc.merge_upsert(base, updates, ["k"], broadcast_updates=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, bcast))
+
+
+# --------------------------------------------------------------------------
+# scd2_versions
+# --------------------------------------------------------------------------
+
+
+def test_scd2_versions_change_points(spark):
+    t = lambda s: datetime(2024, 1, 1, s)
+    events = spark.createDataFrame(
+        [
+            (1, "free", t(1), 10),
+            (1, "free", t(2), 11),   # no change → folded into v1
+            (1, "paid", t(3), 12),   # change → v2
+            (1, "free", t(4), 13),   # change back → v3
+            (2, "paid", t(5), 14),
+        ],
+        "user_id bigint, plan string, ts timestamp, event_id bigint",
+    )
+    out = inc.scd2_versions(events, "user_id", "plan", "ts", "event_id")
+    rows = {(r.user_id, r.version): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(1, 1)].plan == "free" and rows[(1, 1)].valid_to == t(3)
+    assert rows[(1, 2)].plan == "paid" and rows[(1, 2)].valid_to == t(4)
+    assert rows[(1, 3)].plan == "free" and rows[(1, 3)].is_current == 1
+    assert rows[(1, 3)].valid_to is None
+    assert rows[(2, 1)].is_current == 1
+    # intervals tile: each version starts where the previous ended
+    assert rows[(1, 2)].valid_from == rows[(1, 1)].valid_to
+
+
+# --------------------------------------------------------------------------
+# sequence_pack
+# --------------------------------------------------------------------------
+
+
+def test_sequence_pack_offsets_and_straddle(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 300), ("s", 2, 300), ("s", 3, 500)],
+        "source string, doc_id bigint, n_tok bigint",
+    )
+    out = {r.doc_id: r for r in cu.sequence_pack(df, "n_tok", budget=512).collect()}
+    assert out[1].start_offset == 0 and out[1].bin_start == 0 and out[1].bin_end == 0
+    # doc 2 spans the 512 boundary: tokens 300..599 → bins 0..1
+    assert out[2].start_offset == 300
+    assert out[2].bin_start == 0 and out[2].bin_end == 1
+    assert out[3].start_offset == 600
+    assert out[3].bin_start == 1 and out[3].bin_end == 2
+
+
+def test_sequence_pack_groups_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 100)], "source string, doc_id bigint, n_tok bigint"
+    )
+    out = {r.source: r for r in cu.sequence_pack(df, "n_tok").collect()}
+    assert out["a"].start_offset == 0 and out["b"].start_offset == 0
+
+
+# --------------------------------------------------------------------------
+# shuffle_order
+# --------------------------------------------------------------------------
+
+
+def test_shuffle_order_matches_flat_ranking(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    out = cu.shuffle_order(df).collect()
+    assert len(out) == 200
+    assert sorted(r.global_rank for r in out) == list(range(1, 201))
+    # global rank must equal the rank of a flat sort by the md5 key
+    import hashlib
+
+    key = {i: hashlib.md5(f"shuf42|{i}".encode()).hexdigest() for i in range(200)}
+    flat = {i: r + 1 for r, i in enumerate(sorted(range(200), key=lambda i: key[i]))}
+    for r in out:
+        assert r.global_rank == flat[r.doc_id]
+
+
+# --------------------------------------------------------------------------
+# sample_stratified
+# --------------------------------------------------------------------------
+
+
+def test_sample_stratified_deterministic_and_biased(spark):
+    rows = [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(1000)]
+    df = _docs(spark, rows)
+    a = {r.doc_id for r in cu.sample_stratified(df).collect()}
+    b = {r.doc_id for r in cu.sample_stratified(df).collect()}
+    assert a == b  # content-addressed, not rand()
+    en = sum(1 for i in a if i % 2 == 0) / 500
+    zh = sum(1 for i in a if i % 2 == 1) / 500
+    assert 0.5 < en < 0.7  # en stratum keeps ~60%
+    assert 0.03 < zh < 0.2  # default stratum keeps ~10%
+
+
+# --------------------------------------------------------------------------
+# decontaminate_ngram_overlap
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_eval_copy(spark):
+    # find ids landing in the eval bucket (b < 5) and train bucket
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        cu.md5_bucket("id", salt="decon|").alias("b"),
+    )
+    buckets = {r.doc_id: r.b for r in df.collect()}
+    eval_id = next(i for i, b in buckets.items() if b < 5)
+    copy_id = next(i for i, b in buckets.items() if b >= 5)
+    fresh_id = next(i for i, b in buckets.items() if b >= 5 and i != copy_id)
+    leaked = "alpha beta gamma delta epsilon zeta"
+    clean = "one two three four five six seven"
+    docs = _docs(
+        spark,
+        [(eval_id, leaked, "en"), (copy_id, leaked, "en"), (fresh_id, clean, "en")],
+    )
+    out = {r.doc_id: r for r in cu.decontaminate_ngram_overlap(docs).collect()}
+    assert eval_id not in out  # eval docs are not scored
+    assert out[copy_id].contam_frac == 1.0
+    assert out[fresh_id].contam_frac == 0.0
+
+
+# --------------------------------------------------------------------------
+# pii_redact
+# --------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_hash(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call 555-1234", "en"),
+            (2, "ref 123456 and 987654321 no pii words", "en"),
+            (3, "clean text only", "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in cu.pii_redact(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ids) == (1, 1, 0)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ids) == (0, 0, 2)
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ids) == (0, 0, 0)
+    import hashlib
+
+    expected = "mail me at <EMAIL> or call <PHONE>"
+    assert out[1].redacted_sha == hashlib.sha256(expected.encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare common", "s1"),
+            (2, "common common common", "s2"),
+            (3, "common filler words", "s3"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = cu.tfidf_top_terms(docs, group_col="source", k=3).collect()
+    s1 = {r.term: r for r in out if r.source == "s1"}
+    # 'rare' (df=1, tf=2) must outrank 'common' (df=3, tf=2)
+    assert s1["rare"].rank < s1["common"].rank
+    assert s1["rare"].df == 1 and s1["common"].df == 3
+
+
+# --------------------------------------------------------------------------
+# quantize_embeddings
+# --------------------------------------------------------------------------
+
+
+def test_quantize_bounds_and_roundtrip(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = cu.quantize_embeddings(emb).collect()
+    assert {r.vec_id for r in out} == {1}  # zero vector filtered (no scale)
+    by_pos = {r.pos: r for r in out}
+    assert by_pos[0].q == 127 and by_pos[1].q == -63 or by_pos[1].q == -64
+    for r in out:
+        assert -127 <= r.q <= 127
+        # dequantization error bounded by half a quantization step
+        assert abs(r.q * r.scale - [1.0, -0.5, 0.25, 0.0][r.pos]) <= r.scale / 2 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# anomaly_zscore
+# --------------------------------------------------------------------------
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    rows = [(i, "click", 10.0) for i in range(50)] + [(99, "click", 500.0)]
+    events = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    out = cu.anomaly_zscore(events).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3
+
+
+def test_anomaly_zscore_constant_group_silent(spark):
+    events = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", 5.0)], "event_id bigint, event_type string, value double"
+    )
+    assert cu.anomaly_zscore(events).count() == 0

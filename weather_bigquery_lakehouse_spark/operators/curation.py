@@ -1,0 +1,399 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+eval-set decontamination, PII redaction, TF-IDF term weighting, stratified
+sampling, deterministic shuffle ordering, sequence packing, embedding
+quantization, and z-score anomaly flagging.
+
+Everything is JVM-side built-ins (whole-stage codegen); no Python UDFs.
+Determinism rules shared with the rest of the engine: content-addressed
+md5 bucketing instead of ``rand()`` (reproducible across engines, retries,
+and cluster layouts), exact decimal/integer accumulation wherever a sum
+feeds a comparison, and ``round()`` on every emitted ratio double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles_expr, tokens_expr
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround, ASCII classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+LONGNUM_RE = r"\b\d{4,}\b"
+
+# Per-stratum sampling percentages (md5-bucket < pct keeps the row).
+STRATA_PCT = {"en": 60, "es": 40, "de": 20}
+DEFAULT_STRATUM_PCT = 10
+
+# Shuffle-order sharding: first two hex chars of the md5 key = 256 shards.
+# Hex-char ASCII order (0-9 < a-f) matches digit-value order, so numeric
+# shard id is monotone in the key's lexicographic order — (shard, key)
+# ordering equals pure key ordering, which makes distributed ranking exact.
+N_SHUFFLE_SHARDS = 256
+
+
+def md5_bucket(col: Column | str, salt: str = "", mod: int = 100) -> Column:
+    """Deterministic uniform bucket in ``[0, mod)`` from an id column.
+
+    The engine's standard replacement for ``rand()``-based sampling: the
+    same id lands in the same bucket in every engine, run, retry, and
+    partition layout. ``salt`` decorrelates independent uses (a doc's
+    train/val split must not predict its sampling fate).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string")) if salt else c.cast("string")
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint") % mod
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate_ngram_overlap(
+    docs: DataFrame,
+    eval_pct: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents whose word-``k``-gram shingles overlap an
+    eval holdout, the standard train/test decontamination pass.
+
+    The eval subset is a deterministic md5-bucket slice (``bucket <
+    eval_pct``); its *distinct shingle set* is what joins against the
+    training side. At 100 TB the training side dominates and streams
+    through one shuffle-free semi-join: real eval suites are MB-scale, so
+    the distinct eval shingles are broadcast. Output is one row per
+    training doc with its contaminated-shingle fraction.
+    """
+    bucket = md5_bucket(id_col, salt="decon|")
+    # Hash-repartition by doc BEFORE the CPU-bound tokenize/shingle stage:
+    # spreads the work across all cores even when the source is a handful
+    # of parquet files, and the downstream groupBy(doc_id) reuses the
+    # partitioning (same choice as dedup._doc_shingles — 5× wall-clock).
+    spread = docs.where(F.col(text_col).isNotNull()).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
+        F.col(id_col), bucket.alias("__b"), tokens_expr(text_col).alias("__t")
+    )
+    # One projection from token array to exploded distinct shingles, the
+    # same shape as dedup._doc_shingles. Do NOT insert a size(__t) filter
+    # or an intermediate shingle-array projection here: either lets the
+    # optimizer substitute the tokenizer into the shingle lambda and the
+    # regex split re-runs per array index — O(tokens²), measured 45× slower
+    # at sf0.1. Docs with < k tokens yield an empty array and explode to
+    # nothing, which already matches the oracle's len(t) >= k guard.
+    # Checkpointed once (GC-released) — it feeds three consumers below.
+    ex = toks.select(
+        F.col(id_col),
+        F.col("__b"),
+        F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("shingle"),
+    ).localCheckpoint(eager=True)
+    eval_shingles = ex.where(F.col("__b") < eval_pct).select("shingle").distinct()
+    train = ex.where(F.col("__b") >= eval_pct)
+    per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    contaminated = (
+        train.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    n_contam = F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint")
+    return per_doc.join(contaminated, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        n_contam.alias("n_contaminated"),
+        F.round(n_contam.cast("double") / F.col("n_shingles"), 6).alias("contam_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, phone-shaped numbers, and long digit runs, with
+    per-document accounting and a digest of the redacted text.
+
+    Sequential passes (email → phone → long-number) make the counts
+    well-defined when patterns could overlap: each count is taken on the
+    text as it stands *before* that pass. Pure per-row ``regexp_replace``
+    — no shuffle, scales linearly.
+    """
+    src = F.col(text_col)
+    r1 = F.regexp_replace(src, EMAIL_RE, "<EMAIL>")
+    staged = df.where(src.isNotNull()).select(
+        F.col(id_col),
+        src.alias("__t0"),
+        r1.alias("__t1"),
+        F.regexp_replace(r1, PHONE_RE, "<PHONE>").alias("__t2"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.regexp_count("__t0", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("__t1", F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("__t2", F.lit(LONGNUM_RE)).cast("bigint").alias("n_ids"),
+        F.sha2(F.regexp_replace(F.col("__t2"), LONGNUM_RE, "<ID>"), 256).alias(
+            "redacted_sha"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` terms per group by TF-IDF weight.
+
+    The inverse-document-frequency factor is the smoothed *ratio*
+    ``(N+1)/(df+1)`` rather than its logarithm: one IEEE division of
+    exact integers is bit-identical across engines, where ``ln`` is only
+    correctly-rounded-ish per libm — the ranking is order-equivalent.
+    Two aggregates (term×group TF, term DF) + one broadcast of the
+    corpus-size scalar; the per-group top-k is a bounded window.
+    """
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(group_col), F.col(id_col), tokens_expr(text_col).alias("__t"))
+    )
+    terms = toks.select(group_col, id_col, F.explode("__t").alias("term"))
+    n_docs = terms.agg(F.countDistinct(id_col).cast("double").alias("__n"))
+    tf = terms.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.round(
+        F.col("tf").cast("double")
+        * ((F.col("__n") + 1.0) / (F.col("df").cast("double") + 1.0)),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(group_col),
+            F.col("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling + deterministic shuffle order
+# --------------------------------------------------------------------------
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    pct: dict[str, int] | None = None,
+    default_pct: int = DEFAULT_STRATUM_PCT,
+    salt: str = "strat|",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its salted md5
+    bucket falls below the stratum's percentage. No shuffle, no state,
+    retry-safe — each row's fate is a pure function of its id.
+    """
+    pct = STRATA_PCT if pct is None else pct
+    bucket = md5_bucket(id_col, salt=salt)
+    keep_pct: Column = F.lit(default_pct)
+    for value, p in pct.items():
+        keep_pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(keep_pct)
+    return df.where(bucket < keep_pct)
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "shuf42"
+) -> DataFrame:
+    """Deterministic global shuffle order for training-example serving.
+
+    The order is ``md5(seed|id)`` — content-addressed, so it is identical
+    across engines and runs. Ranking is computed the distributed way: rows
+    shard on the key's first byte (256 shards, order-preserving — see
+    ``N_SHUFFLE_SHARDS``), ranks are per-shard windows, and global ranks
+    add each shard's size-prefix offset (a 256-row metadata aggregate,
+    broadcast back). No single-partition global window anywhere, so the
+    plan survives a 100 TB corpus.
+    """
+    key = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(F.col("__key"), 1, 2), 16, 10).cast("int")
+    keyed = df.select(F.col(id_col), key.alias("__key")).select(
+        F.col(id_col), F.col("__key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    ranked = keyed.withColumn("shard_rank", F.row_number().over(w).cast("bigint"))
+    sizes = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("__sz"))
+    # 256-row metadata window: the offset prefix-sum is driver-scale work.
+    off_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        F.col("shard").alias("__oshard"),
+        F.coalesce(F.sum("__sz").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ranked["shard"] == offsets["__oshard"])
+        .select(
+            F.col(id_col),
+            F.col("shard"),
+            F.col("shard_rank"),
+            (F.col("__off") + F.col("shard_rank")).cast("bigint").alias("global_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+
+def sequence_pack(
+    df: DataFrame,
+    n_tokens_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``id_col`` order within each group and chunked into fixed
+    ``budget``-token bins; a document may straddle bins (exactly how
+    training-sequence packing works). Emits each doc's start offset and
+    the bin range it covers — all exact integer math.
+
+    One running-sum window per group. Groups pack independently, so
+    parallelism = number of groups; for one giant group, pre-split the
+    group key by a bucket of ``id_col`` (the packing is order-preserving
+    within each sub-shard).
+    """
+    n_tok = F.col(n_tokens_col).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(n_tok).over(w)
+    t = df.where(n_tok > 0).select(
+        F.col(group_col),
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        (running - n_tok).cast("bigint").alias("start_offset"),
+        running.alias("__run"),
+    )
+    return t.select(
+        group_col,
+        id_col,
+        "n_tok",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(float(budget))).cast("bigint").alias(
+            "bin_start"
+        ),
+        F.floor((F.col("__run") - 1) / F.lit(float(budget))).cast("bigint").alias(
+            "bin_end"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x| / 127) plus
+    the L2 norm — the storage-compression pass an embedding corpus runs
+    before ANN serving. Per-row array math only; output is exploded to one
+    scalar row per (vector, dimension) so the hash gate sees scalars.
+
+    Cross-engine parity: quantized value is ``floor(x·127/max|x| + 0.5)``
+    (identical IEEE expression tree in the oracle), norm is a sequential
+    fold matching DuckDB's ``list_sum`` order, rounded at emit.
+    """
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    step = df.select(F.col(id_col), xs.alias("__x"))
+    sq = F.aggregate(
+        F.zip_with(F.col("__x"), F.col("__x"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    stats = step.select(
+        F.col(id_col),
+        F.col("__x"),
+        F.array_max(F.transform(F.col("__x"), F.abs)).alias("__m"),
+        sq.alias("__sq"),
+    )
+    ex = stats.where(F.col("__m") > 0).select(
+        F.col(id_col),
+        F.col("__m"),
+        F.col("__sq"),
+        F.posexplode("__x").alias("pos", "x"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("x") * 127.0 / F.col("__m") + 0.5).cast("int").alias("q"),
+        F.round(F.col("__m") / 127.0, 8).alias("scale"),
+        F.round(F.sqrt("__sq"), 6).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection
+# --------------------------------------------------------------------------
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag rows whose value is more than ``threshold`` population
+    standard deviations from their group mean.
+
+    One map-side-combinable aggregate per group (exact decimal sums for
+    sum and sum-of-squares — order-independent, so partial-aggregation
+    order can't perturb the mean), broadcast back onto the stream. The
+    z-score is derived from the exact sums in doubles with an expression
+    tree the oracle mirrors verbatim.
+    """
+    id_cols = ["event_id"] if id_cols is None else id_cols
+    d = F.col(value_col).cast("decimal(12,2)")
+    stats = df.groupBy(group_col).agg(
+        F.sum(d).cast("double").alias("__sm"),
+        F.sum(d * d).cast("double").alias("__ssq"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    mean = F.col("__sm") / F.col("__n")
+    var = F.col("__ssq") / F.col("__n") - mean * mean
+    z = F.round((F.col(value_col) - mean) / F.sqrt(var), 4)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .where((var > 0) & (F.abs(z) > threshold))
+        .select(*id_cols, group_col, value_col, z.alias("zscore"))
+    )

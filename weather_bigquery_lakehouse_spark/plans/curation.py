@@ -1,0 +1,450 @@
+"""Curation / incremental-maintenance queries: decontamination, PII
+redaction, TF-IDF, stratified sampling, shuffle ordering, sequence
+packing, embedding quantization, z-score anomalies, MERGE upsert, SCD2.
+
+Same oracle discipline as plans/extensions.py: every DuckDB twin mirrors
+the Spark expression tree verbatim (same md5 bucketing, same regexes,
+same IEEE expression shapes, same rounding), several generated from the
+same Python constants so the sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as cu
+from ..operators import incremental as inc
+from .extensions import _DUCK_TOKENS, _duck_shingles
+from .queries import _register, _views
+
+# md5-bucket oracle fragment (mirrors operators/curation.md5_bucket).
+_DUCK_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTR(md5({key}), 1, 15)) AS BIGINT) % {mod}"
+)
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination
+# --------------------------------------------------------------------------
+
+_DECON_EVAL_PCT = 5
+
+_SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_DUCK_BUCKET.format(key="'decon|' || CAST(doc_id AS VARCHAR)", mod=100)} AS b,
+         {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, b, shingle FROM (
+    SELECT doc_id, b, unnest({_duck_shingles()}) AS shingle FROM toks WHERE len(t) >= 3
+  )
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE b < {_DECON_EVAL_PCT}),
+tr AS (SELECT doc_id, shingle FROM sh WHERE b >= {_DECON_EVAL_PCT}),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+)
+SELECT per.doc_id, per.n_shingles,
+       CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COALESCE(hit.n_hits, 0) AS DOUBLE) / per.n_shingles, 6)
+           AS contam_frac
+FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
+"""
+
+
+@_register(
+    "decontaminate_ngram_overlap",
+    _SQL_DECONTAMINATE,
+    f"train/eval decontamination: word-3-gram overlap of every training doc "
+    f"against a deterministic {_DECON_EVAL_PCT}% md5-bucket eval holdout; "
+    "eval shingle set is benchmark-sized → broadcast, training side streams "
+    "through one join",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.decontaminate_ngram_overlap(docs, eval_pct=_DECON_EVAL_PCT)
+
+
+# --------------------------------------------------------------------------
+# PII redaction (on deterministically PII-augmented text, so the regexes
+# have real matches to find — the synthetic corpus itself is digit-free)
+# --------------------------------------------------------------------------
+
+_SQL_PII = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS t0
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{cu.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+st2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{cu.PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM st
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{cu.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{cu.PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{cu.LONGNUM_RE}')) AS BIGINT) AS n_ids,
+       sha256(regexp_replace(t2, '{cu.LONGNUM_RE}', '<ID>', 'g')) AS redacted_sha
+FROM st2
+"""
+
+
+@_register(
+    "pii_redact",
+    _SQL_PII,
+    "PII redaction with accounting: sequential email → phone → long-number "
+    "regexp passes (Java/RE2-portable patterns), per-doc match counts and a "
+    "sha256 of the fully redacted text; per-row, shuffle-free",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    aug = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    return cu.pii_redact(aug)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per source
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 10
+
+_SQL_TFIDF = f"""
+WITH toks0 AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (SELECT doc_id, source, unnest(t) AS term FROM toks0),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY source, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfreq.df,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ((nd.n + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@_register(
+    "tfidf_top_terms",
+    _SQL_TFIDF,
+    f"TF-IDF top-{_TFIDF_K} terms per source: two aggregates (group-term TF, "
+    "term DF) + broadcast corpus-size scalar; smoothed ratio IDF "
+    "((N+1)/(df+1)) keeps the weight bit-portable across engines where "
+    "libm ln() is not",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.tfidf_top_terms(docs, k=_TFIDF_K)
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling + deterministic global shuffle order
+# --------------------------------------------------------------------------
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {p}" for v, p in cu.STRATA_PCT.items()
+    )
+    return f"CASE lang {whens} ELSE {cu.DEFAULT_STRATUM_PCT} END"
+
+
+_SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_DUCK_BUCKET.format(key="'strat|' || CAST(doc_id AS VARCHAR)", mod=100)}
+      < {_strata_case_sql()}
+"""
+
+
+@_register(
+    "sample_stratified",
+    _SQL_SAMPLE_STRATIFIED,
+    "stratified sampling: per-language keep-percentages applied via salted "
+    "md5 buckets — content-addressed (reproducible across engines/retries/"
+    "layouts, unlike rand()), shuffle-free",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.sample_stratified(docs).select("doc_id", "lang", "source")
+
+
+_SQL_SHUFFLE_ORDER = """
+WITH keyed AS (
+  SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+s AS (
+  SELECT doc_id, skey,
+         CAST(CAST(CONCAT('0x', SUBSTR(skey, 1, 2)) AS BIGINT) AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS shard_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS BIGINT) AS global_rank
+FROM s
+"""
+
+
+@_register(
+    "train_shuffle_order",
+    _SQL_SHUFFLE_ORDER,
+    "deterministic global shuffle order: md5(seed|id) key, 256 order-"
+    "preserving key-prefix shards, per-shard window ranks + broadcast "
+    "shard-size offsets — exact global ranks with no single-partition "
+    "window (the oracle's flat ROW_NUMBER is the semantics, not the plan)",
+)
+def train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.shuffle_order(docs)
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension versioning
+# --------------------------------------------------------------------------
+
+_SQL_SCD2 = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+  FROM events
+),
+cp AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+           AS is_current
+FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_register(
+    "scd2_user_versions",
+    _SQL_SCD2,
+    "SCD Type-2 from the event log: lag change-detection + lead interval "
+    "stitching + version numbers, all on one partitionBy(user_id) ordering "
+    "— a single shuffle however many windows read it",
+)
+def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _views(spark, sf_dir, ["events"])["events"]
+    return inc.scd2_versions(
+        events, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE upsert
+# --------------------------------------------------------------------------
+
+_SQL_MERGE = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS total_price,
+         'update' AS src
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+         'base' AS src
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT * FROM base UNION ALL SELECT * FROM upd
+"""
+
+
+@_register(
+    "merge_upsert_orders",
+    _SQL_MERGE,
+    "MERGE-style upsert: updates win on key collision via anti-join + "
+    "union (broadcast the update batch → the 100 TB base table never "
+    "shuffles); update set here is a deterministic orders slice with "
+    "decimal-exact repricing",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _views(spark, sf_dir, ["orders"])["orders"]
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (money + F.lit(100)).cast("double").alias("total_price"),
+        F.lit("update").alias("src"),
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        money.cast("double").alias("total_price"),
+        F.lit("base").alias("src"),
+    )
+    return inc.merge_upsert(base, updates, ["o_orderkey"], broadcast_updates=True)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tok
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM t
+)
+SELECT source, doc_id, n_tok,
+       CAST(running - n_tok AS BIGINT) AS start_offset,
+       CAST(FLOOR(CAST(running - n_tok AS BIGINT) / {float(_PACK_BUDGET)})
+            AS BIGINT) AS bin_start,
+       CAST(FLOOR(CAST(running - 1 AS BIGINT) / {float(_PACK_BUDGET)})
+            AS BIGINT) AS bin_end
+FROM r
+"""
+
+
+@_register(
+    "sequence_pack",
+    _SQL_SEQUENCE_PACK,
+    f"concat-and-chunk sequence packing into {_PACK_BUDGET}-token bins: one "
+    "running-sum window per source, exact integer offsets; docs may "
+    "straddle bins exactly as training-sequence packing does",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    with_tok = docs.where(F.col("n_chars") > 0).select(
+        "source", "doc_id",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_tok"),
+    )
+    return cu.sequence_pack(with_tok, "n_tok", budget=_PACK_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization
+# --------------------------------------------------------------------------
+
+_DUCK_SELF_DOT = (
+    "list_sum(list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+
+_SQL_QUANTIZE = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS maxabs,
+         {_DUCK_SELF_DOT} AS sq
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, maxabs, sq,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM v WHERE maxabs > 0
+)
+SELECT vec_id, pos,
+       CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS INT) AS q,
+       ROUND(maxabs / 127.0, 8) AS scale,
+       ROUND(SQRT(sq), 6) AS l2_norm
+FROM ex
+"""
+
+
+@_register(
+    "embedding_quantize",
+    _SQL_QUANTIZE,
+    "symmetric int8 embedding quantization (scale = max|x|/127) + L2 norm: "
+    "per-row array math, exploded to scalar rows for the hash gate; "
+    "floor(x·127/max + 0.5) is the same IEEE tree in both engines",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cu.quantize_embeddings(emb)
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_SQL_ANOMALY = """
+WITH s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS ssq,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - sm / n)
+             / SQRT(ssq / n - (sm / n) * (sm / n)), 4) AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE ssq / n - (sm / n) * (sm / n) > 0
+  AND ABS(ROUND((e.value - sm / n)
+                / SQRT(ssq / n - (sm / n) * (sm / n)), 4)) > 3
+"""
+
+
+@_register(
+    "anomaly_zscore_events",
+    _SQL_ANOMALY,
+    "per-event-type z-score outliers (|z| > 3): one map-side-combinable "
+    "aggregate with exact decimal sum/sum-of-squares (order-independent), "
+    "broadcast back — data-quality gate for incoming event streams",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _views(spark, sf_dir, ["events"])["events"]
+    return cu.anomaly_zscore(events)
