@@ -128,6 +128,40 @@ class TestProfiling:
         assert row["count_n"] == 3 and row["distinct_n"] == 2
         assert row["count_s"] == 2 and row["min_n"] == 1 and row["max_n"] == 2
 
+    def test_exact_quantiles_matches_percentile_and_numpy(self, spark):
+        import numpy as np
+
+        from weather_bigquery_lakehouse_spark.functions.profiling import (
+            exact_quantiles,
+        )
+
+        vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 97, -4]]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        ps = [0.05, 0.25, 0.5, 0.9]
+        row = exact_quantiles(df, "x", ps, "x").first()
+        spark_row = df.agg(
+            *[
+                F.round(F.percentile("x", F.lit(p)), 6).alias(f"p{int(p*100)}")
+                for p in ps
+            ]
+        ).first()
+        for p in ps:
+            got = row[f"x_p{int(p*100)}"]
+            assert got == spark_row[f"p{int(p*100)}"]
+            assert abs(got - float(np.quantile(vals, p))) < 1e-6
+
+    def test_exact_quantiles_with_nulls_and_duplicates(self, spark):
+        from weather_bigquery_lakehouse_spark.functions.profiling import (
+            exact_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (1.0,), (1.0,), (2.0,), (None,)], ["x"]
+        )
+        row = exact_quantiles(df, "x", [0.5, 1.0], "x").first()
+        assert row["x_p50"] == 1.0  # nulls excluded, dup mass respected
+        assert row["x_p100"] == 2.0
+
     def test_consistency_violations(self, spark):
         df = spark.createDataFrame(
             [("x", 1), ("x", 2), ("y", 3), ("y", 3)], ["name", "id"]

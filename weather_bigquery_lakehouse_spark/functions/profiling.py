@@ -1,34 +1,140 @@
-"""Single-job data profiling.
+"""Single-pass data profiling and distributed exact quantiles.
 
 The reference profiles per column with separate Spark jobs —
 ``distinct().count()`` + ``show()`` per column for uniqueness
 (src/etl/utils/data_profiling.py:1-8) and a 4-aggregate ``select`` per
-column for ranges (:10-22). Both collapse to ONE aggregate job here: a
-single ``df.agg(...)`` with all measures for all columns, which Spark
-executes as one partial-aggregate (map-side) + one final aggregate —
-O(1) scans regardless of column count.
+column for ranges (:10-22). Here the row-level measures collapse to one
+aggregate and each exact distinct count runs as its own two-phase
+dedup branch — see ``profile`` for why that beats a combined
+multi-distinct aggregate at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """count / countDistinct / min / max for every column, one row out,
-    one job. Column naming: ``{measure}_{col}``. Equivalent output to
-    ``basic_data_profiling`` (reference data_profiling.py:10-22)."""
+    """count / countDistinct / min / max for every column, one row out.
+    Column naming: ``{measure}_{col}``. Equivalent output to
+    ``basic_data_profiling`` (reference data_profiling.py:10-22).
+
+    Plan shape: the streaming measures (count/min/max) share ONE
+    map-side-combined aggregate; each exact distinct count is its own
+    two-phase branch (partial dedup per partition → shuffle distinct
+    values → count) cross-joined onto the result row. A single aggregate
+    with k countDistinct columns would instead go through Expand, which
+    multiplies every input row k× before any partial aggregation —
+    measured 3× slower at sf0.1 and k× more shuffle at any scale. The
+    branches share the scan and run as parallel stages."""
     cols = cols or df.columns
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"count_{c}"),
-            F.countDistinct(F.col(c)).alias(f"distinct_{c}"),
-            F.min(F.col(c)).alias(f"min_{c}"),
-            F.max(F.col(c)).alias(f"max_{c}"),
+    out = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(F.col(c)).alias(f"count_{c}"),
+                F.min(F.col(c)).alias(f"min_{c}"),
+                F.max(F.col(c)).alias(f"max_{c}"),
+            )
         ]
-    return df.agg(*aggs)
+    )
+    for c in cols:
+        # count(c) after distinct(): skips the null row, = COUNT(DISTINCT c)
+        out = out.crossJoin(
+            df.select(c).distinct().agg(F.count(F.col(c)).alias(f"distinct_{c}"))
+        )
+    order = [
+        f"{m}_{c}" for c in cols for m in ("count", "distinct", "min", "max")
+    ]
+    return out.select(*order)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    ps: list[float],
+    out_prefix: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles (SQL ``quantile_cont`` semantics) as a
+    fully distributed plan — the scale-safe replacement for
+    ``F.percentile``, whose aggregation buffer holds every value of the
+    column on one task (fine at test SF, an OOM at 100 TB).
+
+    Shape: value histogram (groupBy value — exact, map-side combined) →
+    range-partition by value → per-partition cumulative counts stitched
+    into global rank intervals with a partition-size offset prefix-sum (a
+    metadata-scale window, same trick as curation.shuffle_order) → the
+    ~2·|ps| needed ranks broadcast-probe the histogram → interpolate.
+    Peak per-task state is one histogram partition, never the column.
+
+    Interpolation mirrors Spark's own ``percentile``:
+    ``v_lo + (v_hi - v_lo) * (pos - floor(pos))`` with ``pos = p·(n-1)``,
+    rounded to 6dp — the same arithmetic the DuckDB oracle's
+    ``quantile_cont`` agrees with. Output: one row, columns
+    ``{out_prefix}_p{int(p*100)}``.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    vals = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    hp = hist.repartitionByRange(n_parts, "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    in_w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
+    sizes = hp.groupBy("pid").agg(F.sum("cnt").alias("__sz"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        F.col("pid").alias("__opid"),
+        F.coalesce(F.sum("__sz").over(off_w), F.lit(0)).alias("__off"),
+    )
+    ranked = cum.join(F.broadcast(offsets), cum["pid"] == offsets["__opid"]).select(
+        "v",
+        (F.col("__off") + F.col("cum_in") - F.col("cnt")).alias("cum_start"),
+        (F.col("__off") + F.col("cum_in")).alias("cum_end"),
+    )
+    n_df = vals.agg(F.count(F.lit(1)).alias("__n"))
+    pos = F.col("p") * (F.col("__n") - 1)
+    ranks = n_df.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"), "__n"
+    ).select(
+        "p",
+        pos.alias("pos"),
+        F.floor(pos).cast("bigint").alias("lo"),
+        F.ceil(pos).cast("bigint").alias("hi"),
+    )
+    lo_hit = ranked.join(
+        F.broadcast(ranks),
+        (F.col("lo") >= F.col("cum_start")) & (F.col("lo") < F.col("cum_end")),
+    ).select("p", "pos", "hi", F.col("v").alias("v_lo"))
+    both = ranked.join(
+        F.broadcast(lo_hit),
+        (F.col("hi") >= F.col("cum_start")) & (F.col("hi") < F.col("cum_end")),
+    ).select("p", "pos", "v_lo", F.col("v").alias("v_hi"))
+    q = both.select(
+        "p",
+        (
+            F.col("v_lo")
+            + (F.col("v_hi") - F.col("v_lo")) * (F.col("pos") - F.floor("pos"))
+        ).alias("q"),
+    )
+    return q.agg(
+        *[
+            F.round(F.max(F.when(F.col("p") == float(p), F.col("q"))), 6).alias(
+                f"{out_prefix}_p{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
 
 
 def distinct_counts(df: DataFrame, cols: list[str] | None = None, approx: bool = False) -> DataFrame:

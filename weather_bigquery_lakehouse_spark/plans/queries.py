@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from ..io.readers import load_testdata
 from ..functions.dates import parse_date_multi
 from ..functions.cleaning import drop_null_rows, trim_strings, dedupe_rows
-from ..functions.profiling import consistency_violations, profile, distinct_counts
+from ..functions.profiling import (
+    consistency_violations,
+    distinct_counts,
+    exact_quantiles,
+    profile,
+)
 from ..functions.keys import surrogate_key
 from ..operators.star_schema import build_dim_conformed, build_dim_distinct, build_fact
 
@@ -579,22 +584,20 @@ _SQL_QUANTILES = "SELECT " + ", ".join(
 @_register(
     "quantiles_lineitem",
     _SQL_QUANTILES,
-    "exact interpolated quantiles (profiling extension of A4): one "
-    "aggregate job computes every requested percentile of every column",
+    "exact interpolated quantiles (profiling extension of A4), computed "
+    "distributed: per-column value histogram → range-partitioned rank "
+    "intervals → broadcast rank probe → interpolate. F.percentile would "
+    "buffer the whole column in one aggregation task — fine at test SF, "
+    "an OOM at 100 TB; this plan's peak task state is a histogram slice",
 )
 def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _views(spark, sf_dir, ["lineitem"])["lineitem"]
-    aggs = []
-    for p in _QUANTILE_PS:
-        aggs.append(
-            F.round(F.percentile("l_quantity", F.lit(p)), 6).alias(f"qty_p{int(p * 100)}")
-        )
-        aggs.append(
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(
-                f"price_p{int(p * 100)}"
-            )
-        )
-    return li.agg(*aggs)
+    qty = exact_quantiles(li, "l_quantity", _QUANTILE_PS, "qty")
+    price = exact_quantiles(li, "l_extendedprice", _QUANTILE_PS, "price")
+    order = [
+        f"{pre}_p{int(p * 100)}" for p in _QUANTILE_PS for pre in ("qty", "price")
+    ]
+    return qty.crossJoin(price).select(*order)
 
 
 # --------------------------------------------------------------------------
