@@ -183,3 +183,44 @@ def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
     incremental_zone_ingest(spark, str(src) + "/*", tgt, ckpt, schema="id long")
     got = sorted(r["id"] for r in spark.read.parquet(tgt).collect())
     assert got == [1, 2]  # f1 not re-processed (exactly-once bookkeeping)
+
+
+def test_incremental_gold_merge_across_runs(spark, tmp_path):
+    """The foreachBatch MERGE must upsert per-user latest state into the
+    gold snapshot across runs: run 2 (new files only, via the checkpoint)
+    overwrites users it touches and leaves the rest intact."""
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_incremental_gold_stream,
+    )
+
+    zone = tmp_path / "events_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "gold_ckpt")
+    gold = str(tmp_path / "gold_user_latest")
+
+    def ns(s):  # seconds since epoch → EVENTS raw nanos
+        return s * 1_000_000_000
+
+    spark.createDataFrame(
+        [
+            (1, ns(100), 10, "signup", 1.0, "{}"),
+            (2, ns(200), 10, "click", 1.0, "{}"),
+            (3, ns(150), 20, "signup", 1.0, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(zone / "f1"))
+    out1 = run_incremental_gold_stream(spark, str(zone) + "/*", gold, checkpoint_dir=ckpt)
+    got1 = {r.user_id: r.last_event_type for r in out1.collect()}
+    assert got1 == {10: "click", 20: "signup"}
+
+    spark.createDataFrame(
+        [
+            (4, ns(300), 10, "purchase", 9.0, "{}"),
+            (5, ns(310), 30, "signup", 1.0, "{}"),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(zone / "f2"))
+    out2 = run_incremental_gold_stream(spark, str(zone) + "/*", gold, checkpoint_dir=ckpt)
+    got2 = {r.user_id: r.last_event_type for r in out2.collect()}
+    # user 10 upserted, user 20 untouched, user 30 inserted
+    assert got2 == {10: "purchase", 20: "signup", 30: "signup"}

@@ -65,3 +65,52 @@ def test_lsh_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
     assert all("BroadcastHashJoin" in l for l in anti_lines), (
         "cap anti-join is no longer broadcast:\n" + "\n".join(anti_lines)
     )
+
+
+def test_merge_upsert_base_side_never_shuffles(spark, sf_dir):
+    """The MERGE upsert's anti-join must be broadcast: the base (100 TB
+    fact) side reads straight through with NO hashpartitioning Exchange —
+    a shuffled anti-join would move the whole base table to apply a small
+    update batch."""
+    plan = _plan(QUERIES["merge_upsert_orders"].fn(spark, sf_dir), "simple")
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_profile_has_no_expand(spark, sf_dir):
+    """profile() computes k exact distinct counts as independent two-phase
+    branches; a combined multi-countDistinct aggregate would reintroduce
+    Expand, which multiplies every input row k-fold before any partial
+    aggregation."""
+    plan = _plan(QUERIES["profile_lineitem"].fn(spark, sf_dir), "simple")
+    assert "Expand" not in plan
+
+
+def test_exact_quantiles_has_no_percentile_buffer(spark, sf_dir):
+    """The quantile plan must stay histogram-based: F.percentile's
+    aggregation buffer collects the full column into one task. Rank
+    probes must be broadcast."""
+    plan = _plan(QUERIES["quantiles_lineitem"].fn(spark, sf_dir), "simple")
+    assert "percentile" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny rank set probes the histogram
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    """The eval shingle set (benchmark-sized) must broadcast; the training
+    side streams through without an extra shuffle for the semi-join."""
+    plan = _plan(QUERIES["decontaminate_ngram_overlap"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges are the doc-spread repartition reused by the
+    # two per-doc aggregates and the eval-distinct — never a join shuffle
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "Broadcast" not in l]
+    assert not join_lines, "non-broadcast join appeared:\n" + "\n".join(join_lines)
+
+
+def test_anomaly_zscore_stats_broadcast_back(spark, sf_dir):
+    """Group statistics (a handful of rows) must broadcast onto the event
+    stream — shuffling the events by event_type to attach 4 numbers would
+    move the whole table and concentrate hot event types."""
+    plan = _plan(QUERIES["anomaly_zscore_events"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -128,3 +128,100 @@ def test_asof_join_matches_reference(spark, left_rows, right_rows, strict):
         for r in asof_join(left, right, "user", "ts", "r_ts", strict=strict).collect()
     }
     assert got == _ref_asof(left_rows, right_rows, strict)
+
+
+# --------------------------------------------------------------------------
+# merge_upsert: must equal dict-overlay semantics for any key overlap
+# --------------------------------------------------------------------------
+
+_kv = st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=15)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_kv, _kv)
+def test_merge_upsert_matches_dict_overlay(spark, base_rows, upd_rows):
+    from weather_bigquery_lakehouse_spark.operators.incremental import merge_upsert
+
+    # unique keys per side (a merge input has one row per key)
+    base_rows = list({k: (k, v) for k, v in base_rows}.values())
+    upd_rows = list({k: (k, v) for k, v in upd_rows}.values())
+    base = spark.createDataFrame(base_rows or [(None, None)], "k int, v int").where(
+        F.col("k").isNotNull()
+    )
+    upd = spark.createDataFrame(upd_rows or [(None, None)], "k int, v int").where(
+        F.col("k").isNotNull()
+    )
+    expected = dict(base_rows)
+    expected.update(dict(upd_rows))
+    got = {r.k: r.v for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert got == expected
+
+
+# --------------------------------------------------------------------------
+# sequence_pack: offsets must equal a sequential cursor per group
+# --------------------------------------------------------------------------
+
+_pack_docs = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 700)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_pack_docs)
+def test_sequence_pack_matches_cursor(spark, rows):
+    from weather_bigquery_lakehouse_spark.operators.curation import sequence_pack
+
+    rows = list({(g, d): (g, d, n) for g, d, n in rows}.values())
+    df = spark.createDataFrame(rows, "source int, doc_id int, n_tok long")
+    got = {
+        (r.source, r.doc_id): (r.start_offset, r.bin_start, r.bin_end)
+        for r in sequence_pack(df, "n_tok", budget=512).collect()
+    }
+    cursors = defaultdict(int)
+    for g, d, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        start = cursors[g]
+        cursors[g] += n
+        assert got[(g, d)] == (start, start // 512, (start + n - 1) // 512)
+
+
+# --------------------------------------------------------------------------
+# scd2_versions: must equal run-length collapse of the per-key sequence
+# --------------------------------------------------------------------------
+
+_attr_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 2)),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_attr_events)
+def test_scd2_matches_run_length_collapse(spark, rows):
+    from weather_bigquery_lakehouse_spark.operators.incremental import scd2_versions
+
+    df = spark.createDataFrame(
+        [(k, str(a), _ts(t), k * 10_000 + t) for k, t, a in rows],
+        "user_id int, attr string, ts timestamp, event_id long",
+    )
+    out = scd2_versions(df, "user_id", "attr", "ts", "event_id").collect()
+    got = {
+        (r.user_id, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in out
+    }
+    by_key = defaultdict(list)
+    for k, t, a in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key[k].append((str(a), _ts(t)))
+    expected = {}
+    for k, seq in by_key.items():
+        runs = [seq[0]]
+        for a, t in seq[1:]:
+            if a != runs[-1][0]:
+                runs.append((a, t))
+        for i, (a, t) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected[(k, i + 1)] = (a, t, nxt, 1 if nxt is None else 0)
+    assert got == expected

@@ -296,3 +296,79 @@ def incremental_zone_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_gold_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming MERGE into a gold table: each micro-batch computes the
+    latest (event_type, ts) per user and upserts it into the gold parquet
+    snapshot through ``incremental.merge_upsert`` — batch rows win on key
+    collision, unmatched gold rows survive. This upgrades the reference's
+    append-only gold load (bigquery.py WRITE_APPEND) to key-level
+    semantics while keeping the exactly-once file bookkeeping of the
+    AvailableNow checkpoint: re-running against a grown events zone merges
+    only the new files' users.
+
+    The local sink is a swap-replaced parquet snapshot (write to
+    ``<gold>.next``, then atomically rename over the old snapshot); on a
+    production lakehouse this foreachBatch body is verbatim a Delta /
+    Iceberg MERGE — the plan shape inside (broadcast anti-join + union) is
+    the same one merge_upsert pins. Assumes per-run in-order event files
+    (same contract as run_session_stream; out-of-order arrival needs the
+    batch to also max-compare against the existing gold row's ts).
+    """
+    from ..operators.incremental import merge_upsert
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .parquet(_as_stream_dir(events_dir))
+        .withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        sess = batch.sparkSession
+        # clear leftovers of a run that died mid-swap (the checkpoint will
+        # replay its batch, so dropping them loses nothing)
+        for stale in (gold_dir + ".next", gold_dir + ".old"):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        latest = (
+            batch.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_type")).alias("__last"))
+            .select(
+                "user_id",
+                F.col("__last.event_type").alias("last_event_type"),
+                F.col("__last.ts").alias("last_ts"),
+            )
+        )
+        if os.path.isdir(gold_dir):
+            base = sess.read.parquet(gold_dir)
+            merged = merge_upsert(base, latest, ["user_id"], broadcast_updates=True)
+        else:
+            merged = latest
+        nxt = gold_dir + ".next"
+        merged.write.mode("overwrite").parquet(nxt)
+        old = gold_dir + ".old"
+        if os.path.isdir(gold_dir):
+            os.rename(gold_dir, old)
+        os.rename(nxt, gold_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(gold_dir)
