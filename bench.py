@@ -63,6 +63,7 @@ EXTENDED = [
     "merge_upsert_orders",
     "embedding_quantize",
     "train_shuffle_order",
+    "quality_gopher_flags",
 ]
 
 

@@ -33,6 +33,22 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     assert back.schema == df.schema
 
 
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    """JSON-lines is the interchange format corpora arrive in; Spark's
+    native json source reads it line-per-record distributed. Unicode and
+    embedded quotes must survive the roundtrip."""
+    df = spark.createDataFrame(
+        [(1, 'say "hi" \u2014 caf\u00e9', "en"), (2, None, "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_table(df, path, fmt="json")
+    back = read_table(spark, path, "json", schema=df.schema)
+    rows = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert rows == {1: 'say "hi" \u2014 caf\u00e9', 2: None}
+    assert back.schema == df.schema
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2024-01-01"), (2, "2024-01-02")], "id int, _ingestion_date string"

@@ -397,3 +397,75 @@ def anomaly_zscore(
         .where((var > 0) & (F.abs(z) > threshold))
         .select(*id_cols, group_col, value_col, z.alias("zscore"))
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality filter bank (Gopher- and C4-style rules)
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.6
+GOPHER_MAX_TOP_UNIGRAM_FRAC = 0.2
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition- and shape-based quality rules in the style of the
+    Gopher / C4 corpus filters: token-count bounds, mean-word-length
+    bounds, duplicate-2-gram fraction, and top-unigram dominance, plus
+    the conjunction as ``passes``.
+
+    Everything is per-row array arithmetic over one shared token array —
+    no shuffle, no UDFs; the filter streams at scan speed, which is what
+    a pre-training corpus pass (where >99% of bytes are read once and
+    mostly discarded) has to do. The dominance rule is O(distinct·n) per
+    row via nested higher-order functions; pathological rows are exactly
+    the repetitive ones the rule exists to catch, and their distinct
+    count is small.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__t")).where(
+        F.size("__t") > 0
+    )
+    n = F.size("__t")
+    mean_len = (
+        F.aggregate(F.col("__t"), F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n
+    )
+    grams = shingles_expr(F.col("__t"), 2)
+    dup_frac = F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("__t")),
+                lambda d: F.size(F.filter(F.col("__t"), lambda x: x == d)),
+            )
+        ).cast("double")
+        / n
+    )
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    flags = {
+        "flag_n_tokens": (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS),
+        "flag_mean_word_len": (mean_len >= lo) & (mean_len <= hi),
+        "flag_dup_2gram": dup_frac <= GOPHER_MAX_DUP_2GRAM_FRAC,
+        "flag_top_unigram": top_frac <= GOPHER_MAX_TOP_UNIGRAM_FRAC,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return toks.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_frac, 6).alias("top_unigram_frac"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        passes.cast("int").alias("passes"),
+    )

@@ -448,3 +448,64 @@ WHERE ssq / n - (sm / n) * (sm / n) > 0
 def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _views(spark, sf_dir, ["events"])["events"]
     return cu.anomaly_zscore(events)
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style repetition + quality filter bank
+# --------------------------------------------------------------------------
+
+
+def _gopher_sql() -> str:
+    lo, hi = cu.GOPHER_MEAN_WORD_LEN
+    grams = _duck_shingles("t", 2)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+m AS (
+  SELECT doc_id, t, n,
+         CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE) / n
+             AS mean_len,
+         {grams} AS g,
+         CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / n AS top_frac
+  FROM base
+),
+m2 AS (
+  SELECT doc_id, n, mean_len, top_frac,
+         CASE WHEN len(g) > 0
+              THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+              ELSE 0.0 END AS dup_frac
+  FROM m
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(dup_frac, 6) AS dup_2gram_frac,
+       ROUND(top_frac, 6) AS top_unigram_frac,
+       CAST(n >= {cu.GOPHER_MIN_TOKENS} AND n <= {cu.GOPHER_MAX_TOKENS} AS INT)
+           AS flag_n_tokens,
+       CAST(mean_len >= {lo} AND mean_len <= {hi} AS INT) AS flag_mean_word_len,
+       CAST(dup_frac <= {cu.GOPHER_MAX_DUP_2GRAM_FRAC} AS INT) AS flag_dup_2gram,
+       CAST(top_frac <= {cu.GOPHER_MAX_TOP_UNIGRAM_FRAC} AS INT)
+           AS flag_top_unigram,
+       CAST(n >= {cu.GOPHER_MIN_TOKENS} AND n <= {cu.GOPHER_MAX_TOKENS}
+            AND mean_len >= {lo} AND mean_len <= {hi}
+            AND dup_frac <= {cu.GOPHER_MAX_DUP_2GRAM_FRAC}
+            AND top_frac <= {cu.GOPHER_MAX_TOP_UNIGRAM_FRAC} AS INT) AS passes
+FROM m2
+"""
+
+
+@_register(
+    "quality_gopher_flags",
+    _gopher_sql(),
+    "Gopher/C4-style corpus filter bank: token-count + mean-word-length "
+    "bounds, duplicate-2-gram fraction, top-unigram dominance — per-row "
+    "array math over one shared token array, streams at scan speed",
+)
+def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.gopher_quality_flags(docs)
