@@ -64,6 +64,7 @@ EXTENDED = [
     "embedding_quantize",
     "train_shuffle_order",
     "quality_gopher_flags",
+    "dedup_cluster_assign",
 ]
 
 

@@ -241,3 +241,30 @@ def test_anomaly_zscore_constant_group_silent(spark):
         [(1, "x", 5.0), (2, "x", 5.0)], "event_id bigint, event_type string, value double"
     )
     assert cu.anomaly_zscore(events).count() == 0
+
+
+# --------------------------------------------------------------------------
+# connected_components
+# --------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    from weather_bigquery_lakehouse_spark.operators.dedup import connected_components
+
+    # a 5-node chain (diameter 4 → needs several propagation rounds),
+    # a triangle, and a disjoint pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_label_flows_against_edge_direction(spark):
+    from weather_bigquery_lakehouse_spark.operators.dedup import connected_components
+
+    # min id sits at the "destination" end — propagation must go both ways
+    pairs = spark.createDataFrame([(9, 1), (8, 9)], "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 8: 1, 9: 1}

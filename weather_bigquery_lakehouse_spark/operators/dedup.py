@@ -321,3 +321,57 @@ def simhash(
         bit = F.when(F.col(f"s{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
         value = bit if value is None else (value + bit)
     return sums.select(F.col(id_col), value.cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the pair
+    graph via iterative min-label propagation, the stage that turns
+    near-dup PAIRS into disjoint clusters with a canonical representative
+    (min id). Output: (node, cluster_id).
+
+    This is the Pregel-style pattern: each iteration joins labels along
+    edges, takes the per-node min, and localCheckpoints to truncate
+    lineage (an unbounded iterative lineage chain re-executes every prior
+    join on failure and overwhelms the planner). Convergence is checked
+    with a LIMIT-1 existence probe per iteration — a driver action, but a
+    constant-size one; iteration count is bounded by the component
+    diameter, which for near-dup clusters is small (viral clusters are
+    pre-capped by the LSH bucket guardrail). All joins key on node ids —
+    shuffle-partitioned, no all-pairs, no driver-side graph.
+    """
+    fwd = pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -509,3 +509,54 @@ FROM m2
 def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
     return cu.gopher_quality_flags(docs)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster assignment (pairs → connected components → canonical)
+# --------------------------------------------------------------------------
+
+
+def _cluster_sql() -> str:
+    from .extensions import _SQL_LSH_VERIFIED
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({_SQL_LSH_VERIFIED}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+walk AS (
+  SELECT v, v AS comp FROM nodes
+  UNION
+  SELECT e.b AS v, w.comp FROM walk w JOIN e ON e.a = w.v
+)
+SELECT v AS doc_id,
+       CAST(MIN(comp) AS BIGINT) AS cluster_id,
+       CAST(v = MIN(comp) AS INT) AS is_canonical
+FROM walk GROUP BY v
+"""
+
+
+@_register(
+    "dedup_cluster_assign",
+    _cluster_sql(),
+    "duplicate-cluster formation: LSH∘Jaccard verified pairs → connected "
+    "components via iterative min-label propagation (Pregel-style joins, "
+    "localCheckpoint lineage truncation) → canonical representative = min "
+    "doc id; the oracle is a recursive-CTE reachability closure",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from .extensions import _LSH_VERIFY_THRESHOLD
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    pairs = dd.lsh_verified_pairs(docs, threshold=_LSH_VERIFY_THRESHOLD)
+    labels = dd.connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
