@@ -267,3 +267,44 @@ def test_upload_if_new_year(spark, tmp_path):
     assert upload_if_new_year(df, cat, "dim", today=today_2024) is False  # same year
     assert upload_if_new_year(df, cat, "dim", today=today_2025) is True   # new year
     assert cat.read_table(spark, "dim").count() == 2
+
+
+def test_compact_zone_reduces_files_preserves_rows(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import compact_zone
+
+    zone = str(tmp_path / "zone")
+    # 16 tiny files (one per partition of a 16-slice range)
+    spark.range(0, 1600).repartition(16).write.parquet(zone)
+    before = spark.read.parquet(zone).groupBy().sum("id").first()[0]
+    report = compact_zone(spark, zone, target_file_bytes=1 << 30)
+    assert report.files_before == 16 and report.files_after == 1
+    after_df = spark.read.parquet(zone)
+    assert after_df.count() == 1600
+    assert after_df.groupBy().sum("id").first()[0] == before
+
+
+def test_compact_zone_skips_already_compact(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import compact_zone
+
+    zone = str(tmp_path / "zone1")
+    spark.range(0, 10).coalesce(1).write.parquet(zone)
+    report = compact_zone(spark, zone)
+    assert report.files_before == report.files_after == 1
+
+
+def test_expire_partitions_is_metadata_only(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import expire_partitions
+
+    zone = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "id int, d string",
+    )
+    df.write.partitionBy("d").parquet(zone)
+    dropped = expire_partitions(zone, "d", keep_values=["2024-01-02", "2024-01-03"])
+    assert dropped == ["2024-01-01"]
+    left = spark.read.parquet(zone)
+    # partition values are type-inferred to DATE on read — compare as str
+    assert sorted(str(r.d) for r in left.select("d").distinct().collect()) == [
+        "2024-01-02", "2024-01-03",
+    ]
