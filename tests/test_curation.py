@@ -268,3 +268,36 @@ def test_connected_components_label_flows_against_edge_direction(spark):
     pairs = spark.createDataFrame([(9, 1), (8, 9)], "doc_a long, doc_b long")
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert got == {1: 1, 8: 1, 9: 1}
+
+
+# --------------------------------------------------------------------------
+# interval_overlap_join
+# --------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_boundaries_and_open_end(spark):
+    from datetime import datetime as dt
+
+    from weather_bigquery_lakehouse_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    t = lambda h: dt(2024, 1, 1, h)
+    sessions = spark.createDataFrame(
+        [(1, 100, t(2), t(4)), (1, 101, t(6), t(7)), (2, 200, t(1), t(2))],
+        "user_id long, sid long, s_start timestamp, s_end timestamp",
+    )
+    versions = spark.createDataFrame(
+        [
+            (1, 1, t(0), t(3)),      # overlaps session 100 ([2,4] vs [0,3))
+            (1, 2, t(3), None),      # open-ended: overlaps 100 and 101
+            (2, 1, t(2), t(5)),      # touches session 200 only at s_end==r_start
+        ],
+        "user_id long, version long, valid_from timestamp, valid_to timestamp",
+    )
+    out = interval_overlap_join(
+        sessions, versions, ["user_id"], "s_start", "s_end", "valid_from", "valid_to"
+    )
+    got = {(r.sid, r.version) for r in out.collect()}
+    # session 200 ends exactly at valid_from → closed-left overlap counts it
+    assert got == {(100, 1), (100, 2), (101, 2), (200, 1)}

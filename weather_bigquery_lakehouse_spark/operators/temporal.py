@@ -189,3 +189,35 @@ def sessionize(
             .alias("total_value")
         )
     return marked.groupBy(key_col, "session_idx").agg(*aggs)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+) -> DataFrame:
+    """Keyed interval-overlap join: rows pair when they share the equi-key
+    AND their intervals intersect. Left intervals are closed
+    ``[l_start, l_end]``; right intervals are half-open
+    ``[r_start, r_end)`` with NULL ``r_end`` meaning open-ended (the SCD2
+    validity convention).
+
+    The join shuffles on the equi-key only; the overlap predicate filters
+    post-join. That is the right plan when the key is selective (per-user
+    interval sets are small); for hot keys or an un-keyed interval join,
+    bucketize time like ``range_join_count`` does so a key's intervals
+    never form one task's cross product.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    overlap = (
+        F.col(f"r.{r_end}").isNull() | (F.col(f"l.{l_start}") < F.col(f"r.{r_end}"))
+    ) & (F.col(f"l.{l_end}") >= F.col(f"r.{r_start}"))
+    return l.join(r, cond & overlap)

@@ -560,3 +560,117 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").cast("bigint").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join: sessions × SCD2 plan-validity windows
+# --------------------------------------------------------------------------
+
+
+def _session_plan_overlap_sql() -> str:
+    from .queries import _SQL_SESSIONIZE
+
+    return f"""
+WITH s AS ({_SQL_SESSIONIZE}),
+v AS ({_SQL_SCD2})
+SELECT s.user_id, s.session_idx, s.session_start, s.session_end,
+       v.version, v.event_type AS plan_attr, v.valid_from, v.valid_to
+FROM s JOIN v ON s.user_id = v.user_id
+ AND (v.valid_to IS NULL OR s.session_start < v.valid_to)
+ AND s.session_end >= v.valid_from
+"""
+
+
+@_register(
+    "session_plan_overlap",
+    _session_plan_overlap_sql(),
+    "keyed interval-overlap join: per-user sessions matched to the SCD2 "
+    "validity windows they intersect — equi-join shuffles on user_id only, "
+    "overlap predicate filters post-join (selective key; bucketize like "
+    "range_join for hot keys)",
+)
+def session_plan_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_overlap_join, sessionize
+    from .queries import _SESSION_GAP_S
+
+    events = _views(spark, sf_dir, ["events"])["events"]
+    sessions = sessionize(
+        events.select("user_id", "ts", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=_SESSION_GAP_S,
+    )
+    versions = inc.scd2_versions(
+        events, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    joined = interval_overlap_join(
+        sessions,
+        versions,
+        keys=["user_id"],
+        l_start="session_start",
+        l_end="session_end",
+        r_start="valid_from",
+        r_end="valid_to",
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        "session_idx",
+        "session_start",
+        "session_end",
+        "version",
+        F.col("event_type").alias("plan_attr"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-dup clusters (near-dup pairs → connected components)
+# --------------------------------------------------------------------------
+
+
+def _embedding_cluster_sql() -> str:
+    from .extensions import _embedding_dup_sql
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({_embedding_dup_sql()}),
+e AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+walk AS (
+  SELECT v, v AS comp FROM nodes
+  UNION
+  SELECT e.b AS v, w.comp FROM walk w JOIN e ON e.a = w.v
+)
+SELECT v AS vec_id,
+       CAST(MIN(comp) AS BIGINT) AS cluster_id,
+       CAST(v = MIN(comp) AS INT) AS is_canonical
+FROM walk GROUP BY v
+"""
+
+
+@_register(
+    "embedding_dup_clusters",
+    _embedding_cluster_sql(),
+    "semantic-dup clusters: hyperplane-LSH cosine near-dup pairs fed into "
+    "the same connected-components operator as the text path — one cluster "
+    "id + canonical representative per semantically-duplicate group",
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators import similarity as sim
+    from .extensions import _EMB_DUP_THRESHOLD, _PLANES
+
+    emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = sim.embedding_near_dup_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
+    labels = dd.connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
