@@ -27,7 +27,7 @@ def test_entry_smoke(spark):
 
 def test_every_query_has_callable_and_contract():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    assert len(qs) >= 55  # round-3 registry size — regressions get caught
+    assert len(qs) >= 60  # round-3 registry size — regressions get caught
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name

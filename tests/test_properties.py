@@ -225,3 +225,30 @@ def test_scd2_matches_run_length_collapse(spark, rows):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             expected[(k, i + 1)] = (a, t, nxt, 1 if nxt is None else 0)
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# exact_quantiles: must match numpy's linear interpolation on any values
+# --------------------------------------------------------------------------
+
+_vals = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_vals)
+def test_exact_quantiles_matches_numpy(spark, vals):
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.functions.profiling import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    ps = [0.0, 0.25, 0.5, 0.75, 1.0]
+    row = exact_quantiles(df, "x", ps, "x").first()
+    for p in ps:
+        want = round(float(np.quantile(vals, p)), 6)
+        got = row[f"x_p{int(p * 100)}"]
+        assert abs(got - want) <= 1e-5 * max(1.0, abs(want))

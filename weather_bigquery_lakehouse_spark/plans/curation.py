@@ -674,3 +674,41 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").cast("bigint").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming gold MERGE (single-run form; cross-run semantics in pytest)
+# --------------------------------------------------------------------------
+
+_SQL_STREAM_GOLD = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_type DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       ts AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+@_register(
+    "streaming_gold_user_latest",
+    _SQL_STREAM_GOLD,
+    "streaming foreachBatch MERGE into a gold snapshot (AvailableNow): "
+    "per-user latest state upserted via the broadcast merge_upsert; a "
+    "single run over the full zone must equal the batch per-user argmax "
+    "(cross-run checkpoint/upsert semantics are pytest-verified)",
+)
+def streaming_gold_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.ingest import run_incremental_gold_stream
+
+    gold = os.path.join(tempfile.mkdtemp(prefix="wbl_gold_q_"), "user_latest")
+    return run_incremental_gold_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), gold
+    )
