@@ -308,3 +308,35 @@ def test_expire_partitions_is_metadata_only(spark, tmp_path):
     assert sorted(str(r.d) for r in left.select("d").distinct().collect()) == [
         "2024-01-02", "2024-01-03",
     ]
+
+
+def test_quarantine_corrupt_json_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    zone = tmp_path / "feed"
+    zone.mkdir()
+    (zone / "part1.json").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json at all\n'
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    df = read_table(
+        spark, str(zone), "json", schema=schema, quarantine_corrupt=True
+    ).cache()
+    good = df.where(F.col("__corrupt").isNull())
+    bad = df.where(F.col("__corrupt").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert [r["__corrupt"] for r in bad.collect()] == ["this is not json at all"]
+    # the shared schema object must not have been mutated
+    assert len(schema.fields) == 2
+
+
+def test_quarantine_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="quarantine_corrupt"):
+        read_table(
+            spark, str(tmp_path / "x"), "json",
+            quarantine_corrupt=True, allow_infer=True,
+        )

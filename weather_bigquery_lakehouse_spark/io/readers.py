@@ -32,6 +32,24 @@ def read_table(
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", True)
+    quarantine = options.pop("quarantine_corrupt", False)
+    if quarantine:
+        # PERMISSIVE ingest for external feeds: malformed records land in
+        # __corrupt (raw line preserved) instead of failing the job — at
+        # scale one bad upstream line must not kill a multi-hour load. The
+        # caller splits on __corrupt IS NULL and routes the rest to a
+        # quarantine zone. Requires a pinned schema (the __corrupt column
+        # must be declared, and inference over bad data is circular).
+        if schema is None or fmt not in ("csv", "json"):
+            raise ValueError("quarantine_corrupt needs csv/json and a schema")
+        # copy, don't .add() in place — callers pass shared module-level schemas
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("__corrupt", T.StringType())]
+        )
+        reader = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "__corrupt")
+        )
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
