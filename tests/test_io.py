@@ -340,3 +340,20 @@ def test_quarantine_requires_schema(spark, tmp_path):
             spark, str(tmp_path / "x"), "json",
             quarantine_corrupt=True, allow_infer=True,
         )
+
+
+def test_compact_zone_preserves_hive_partitions(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import compact_zone
+
+    zone = str(tmp_path / "pzone")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2}") for i in range(100)],
+        "id int, _ingestion_date string",
+    )
+    df.repartition(8).write.partitionBy("_ingestion_date").parquet(zone)
+    report = compact_zone(spark, zone, target_file_bytes=1 << 30)
+    assert report.files_after == 2  # one file per partition
+    back = spark.read.parquet(zone)
+    assert back.count() == 100
+    # partition column survives, pruning still works
+    assert back.where(F.col("_ingestion_date") == "2024-01-01").count() == 50

@@ -223,3 +223,39 @@ def test_concurrent_fetch_drops_failures_in_order():
     assert [r["cid"] for r in rows] == [1, 2, 4, 5, 7, 8]
     assert src.stats.dropped == ["0", "3", "6", "9"]
     assert src.stats.requested == 10 and src.stats.fetched == 6
+
+
+def test_maintenance_compacts_and_expires(spark, tmp_path):
+    """Two daily runs → compaction merges each partition's files in place
+    (data intact, partitions intact) and retention drops the expired day
+    by directory listing."""
+    from weather_bigquery_lakehouse_spark.pipeline.runner import run_maintenance
+
+    zones = str(tmp_path / "zones")
+    kwargs = dict(
+        zone_dir=zones,
+        warehouse_dir=str(tmp_path / "warehouse"),
+        city_records=fixture_city_rows(10),
+        forecast_records=fixture_forecast_rows(10),
+    )
+    run_pipeline(spark, run_date="2024-03-25", **kwargs)
+    run_pipeline(spark, run_date="2024-03-26", **kwargs)
+
+    import os
+
+    reports = run_maintenance(spark, zones, keep_dates=["2024-03-26"])
+    expired = [k for k in reports if k.endswith(":expired")]
+    compacted = [k for k in reports if k.endswith(":compaction")]
+    assert expired and compacted
+    # silver zones compacted (parquet); bronze (raw json audit trail) not
+    assert any(k.startswith("silver/") for k in compacted)
+    assert not any(k.startswith("bronze/") for k in compacted)
+    for tier in sorted(os.listdir(zones)):
+        for entity in sorted(os.listdir(os.path.join(zones, tier))):
+            zpath = os.path.join(zones, tier, entity)
+            parts = [e for e in os.listdir(zpath) if e.startswith("_ingestion_date=")]
+            assert parts == ["_ingestion_date=2024-03-26"], (zpath, parts)
+    # silver data still readable after in-place compaction
+    silver = os.path.join(zones, "silver")
+    entity = sorted(os.listdir(silver))[0]
+    assert spark.read.parquet(os.path.join(silver, entity)).count() > 0

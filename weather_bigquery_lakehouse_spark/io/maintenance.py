@@ -50,7 +50,27 @@ def compact_zone(
 
     Skips zones already at or below ``min_files`` — compaction that
     rewrites one file into one file is pure write amplification.
+
+    Hive-partitioned zones (``col=value`` subdirectories) compact one
+    partition directory at a time: partition values live in the directory
+    names, not the files, so a whole-zone rewrite would flatten the
+    layout. Per-partition compaction also keeps each rewrite's blast
+    radius to one partition — at scale that's what makes compaction
+    schedulable alongside live readers.
     """
+    part_dirs = sorted(
+        os.path.join(path, e)
+        for e in (os.listdir(path) if os.path.isdir(path) else [])
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    )
+    if part_dirs:
+        before = after = total = 0
+        for d in part_dirs:
+            r = compact_zone(spark, d, target_file_bytes, min_files)
+            before += r.files_before
+            after += r.files_after
+            total += r.bytes_total
+        return CompactionReport(before, after, total)
     files = _list_files(path)
     total = sum(os.path.getsize(f) for f in files)
     if len(files) <= min_files:
