@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from weather_bigquery_lakehouse_spark.session import build_session
-from weather_bigquery_lakehouse_spark.plans import QUERIES
+from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
 
 # Headline set: the flagship star query + one representative per operator
 # family. (Correctness for the rest is the oracle gate's job; the bench
@@ -84,7 +84,7 @@ def main() -> None:
         medians: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
         for name in names:
-            fn = QUERIES[name].fn
+            fn = ALL_QUERIES[name].fn
             times: list[float] = []
             for _ in range(reps):
                 start = time.perf_counter()

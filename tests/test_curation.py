@@ -270,6 +270,48 @@ def test_connected_components_label_flows_against_edge_direction(spark):
     assert got == {1: 1, 8: 1, 9: 1}
 
 
+def test_connected_components_long_chain_converges_via_pointer_doubling(spark):
+    """A 60-node chain has diameter 59 — plain min-label propagation would
+    exhaust the default 25-iteration cap and (pre-fix) silently return a
+    SPLIT component; pointer doubling converges in O(log diameter). The
+    LSH bucket cap bounds bucket size, not component diameter: chains like
+    this form across buckets."""
+    from weather_bigquery_lakehouse_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_raises_instead_of_returning_split_labels(spark):
+    import pytest as _pytest
+
+    from weather_bigquery_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_merge_upsert_dedupe_order_picks_one_row_per_key(spark):
+    """An update batch with duplicate keys must not emit duplicate rows:
+    with dedupe_order, the last row (descending order) deterministically
+    wins before the merge."""
+    base = spark.createDataFrame([(1, "old", 0)], "k long, v string, ts long")
+    updates = spark.createDataFrame(
+        [(1, "mid", 5), (1, "new", 9), (2, "ins", 1)], "k long, v string, ts long"
+    )
+    out = inc.merge_upsert(base, updates, ["k"], dedupe_order=["ts"])
+    got = {r.k: (r.v, r.ts) for r in out.collect()}
+    assert out.count() == 2
+    assert got == {1: ("new", 9), 2: ("ins", 1)}
+
+
 # --------------------------------------------------------------------------
 # interval_overlap_join
 # --------------------------------------------------------------------------

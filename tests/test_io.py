@@ -357,3 +357,49 @@ def test_compact_zone_preserves_hive_partitions(spark, tmp_path):
     assert back.count() == 100
     # partition column survives, pruning still works
     assert back.where(F.col("_ingestion_date") == "2024-01-01").count() == 50
+
+
+def test_recover_swap_promotes_complete_next(spark, tmp_path):
+    """Crash between the two swap renames: the zone is missing and '.next'
+    holds the only complete snapshot — recovery must promote it, never
+    delete it (the round-3 cleanup-first bug silently lost the zone)."""
+    from weather_bigquery_lakehouse_spark.io.maintenance import recover_swap
+
+    zone = str(tmp_path / "zone")
+    spark.range(0, 100).coalesce(1).write.parquet(zone + ".next")
+    os.makedirs(zone + ".old")  # old snapshot already moved aside
+    assert recover_swap(zone) == "promoted_next"
+    assert spark.read.parquet(zone).count() == 100
+    assert not os.path.isdir(zone + ".next") and not os.path.isdir(zone + ".old")
+
+
+def test_recover_swap_restores_old_when_write_unfinished(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import recover_swap
+
+    zone = str(tmp_path / "zone")
+    spark.range(0, 7).coalesce(1).write.parquet(zone + ".old")
+    assert recover_swap(zone) == "restored_old"
+    assert spark.read.parquet(zone).count() == 7
+
+
+def test_recover_swap_cleans_stale_dirs_when_zone_intact(spark, tmp_path):
+    from weather_bigquery_lakehouse_spark.io.maintenance import recover_swap
+
+    zone = str(tmp_path / "zone")
+    spark.range(0, 5).coalesce(1).write.parquet(zone)
+    os.makedirs(zone + ".next")
+    assert recover_swap(zone) == "clean"
+    assert not os.path.isdir(zone + ".next")
+    assert spark.read.parquet(zone).count() == 5
+
+
+def test_compact_zone_recovers_torn_swap_before_listing(spark, tmp_path):
+    """A zone left mid-swap by a crashed compaction must be restored, not
+    reported as an empty (0-file) zone."""
+    from weather_bigquery_lakehouse_spark.io.maintenance import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.range(0, 1600).repartition(8).write.parquet(zone + ".next")
+    report = compact_zone(spark, zone, target_file_bytes=1 << 30)
+    assert report.files_before == 8  # recovered snapshot, then compacted
+    assert spark.read.parquet(zone).count() == 1600

@@ -5,6 +5,9 @@ DuckDB over the same parquet tables, then compares row count, sorted
 column names, and an order-insensitive value hash. Use while iterating:
 
     python tools/verify_oracle.py [sf_dir] [query ...]
+
+Pass ``--retired`` to also check the entries retired from the driver's
+50-row window (they keep their oracles; see docs/REGISTRY.md).
 """
 
 from __future__ import annotations
@@ -72,8 +75,10 @@ def value_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--retired"]
+    with_retired = "--retired" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
 
@@ -85,6 +90,13 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if with_retired or (only and not only <= set(qs)):
+        from weather_bigquery_lakehouse_spark.plans import RETIRED
+
+        qs = {**qs, **{n: s.fn for n, s in RETIRED.items()}}
+        oracles.update(
+            {n: s.oracle for n, s in RETIRED.items() if s.oracle is not None}
+        )
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -26,6 +26,60 @@ class CompactionReport:
     bytes_total: int
 
 
+def recover_swap(path: str) -> str:
+    """Repair a torn write-to-``.next`` + rename swap at ``path``.
+
+    The swap protocol (shared by :func:`compact_zone` and the streaming
+    gold MERGE) is: write the full new snapshot to ``path + '.next'``,
+    rename ``path`` → ``path + '.old'``, rename ``.next`` → ``path``,
+    delete ``.old``. The first rename only ever runs after the ``.next``
+    write completed, so on entry the states are unambiguous:
+
+    - ``path`` present: any ``.next``/``.old`` leftovers are an aborted
+      write or a completed swap's debris — safe to delete.
+    - ``path`` missing, ``.next`` present: crash landed between the two
+      renames; ``.next`` holds the complete new snapshot — promote it.
+      (Deleting it here would destroy the only copy of previously merged
+      data; a replayed micro-batch rebuilds from that batch alone.)
+    - ``path`` missing, only ``.old`` present: the new write never
+      finished — roll the old snapshot back.
+
+    Returns the action taken (``"clean" | "promoted_next" | "restored_old"
+    | "none"``) so callers/tests can assert on recovery behavior.
+    """
+    path = path.rstrip("/")
+    nxt, old = path + ".next", path + ".old"
+    if os.path.isdir(path):
+        cleaned = False
+        for stale in (nxt, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+                cleaned = True
+        return "clean" if cleaned else "none"
+    if os.path.isdir(nxt):
+        os.rename(nxt, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return "promoted_next"
+    if os.path.isdir(old):
+        os.rename(old, path)
+        return "restored_old"
+    return "none"
+
+
+def commit_swap(path: str) -> None:
+    """Final phase of the swap protocol: atomically replace ``path`` with
+    the already-written ``path + '.next'``. Caller must have finished the
+    ``.next`` write; :func:`recover_swap` repairs any crash point."""
+    path = path.rstrip("/")
+    old = path + ".old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(path + ".next", path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def _list_files(path: str, suffix: str = ".parquet") -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
@@ -71,6 +125,10 @@ def compact_zone(
             after += r.files_after
             total += r.bytes_total
         return CompactionReport(before, after, total)
+    # a crash in a previous run may have left the zone mid-swap: restore
+    # the surviving snapshot before listing (otherwise a torn swap reads
+    # as an empty zone and is silently reported as 0 files)
+    recover_swap(path)
     files = _list_files(path)
     total = sum(os.path.getsize(f) for f in files)
     if len(files) <= min_files:
@@ -79,14 +137,8 @@ def compact_zone(
     if n_out >= len(files):
         return CompactionReport(len(files), len(files), total)
     df = spark.read.parquet(path)
-    nxt = path.rstrip("/") + ".next"
-    df.repartition(n_out).write.mode("overwrite").parquet(nxt)
-    old = path.rstrip("/") + ".old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(nxt, path)
-    shutil.rmtree(old)
+    df.repartition(n_out).write.mode("overwrite").parquet(path.rstrip("/") + ".next")
+    commit_swap(path)
     return CompactionReport(len(files), len(_list_files(path)), total)
 
 

@@ -334,15 +334,23 @@ def connected_components(
     near-dup PAIRS into disjoint clusters with a canonical representative
     (min id). Output: (node, cluster_id).
 
-    This is the Pregel-style pattern: each iteration joins labels along
-    edges, takes the per-node min, and localCheckpoints to truncate
-    lineage (an unbounded iterative lineage chain re-executes every prior
-    join on failure and overwhelms the planner). Convergence is checked
-    with a LIMIT-1 existence probe per iteration — a driver action, but a
-    constant-size one; iteration count is bounded by the component
-    diameter, which for near-dup clusters is small (viral clusters are
-    pre-capped by the LSH bucket guardrail). All joins key on node ids —
-    shuffle-partitioned, no all-pairs, no driver-side graph.
+    This is the Pregel-style pattern with pointer doubling: each iteration
+    (a) joins labels along edges and takes the per-node min, then (b)
+    contracts label chains by replacing every label with its own label
+    (``comp ← label(comp)``). The contraction halves the remaining chain
+    depth, so convergence is O(log diameter) instead of O(diameter) —
+    long chains formed ACROSS LSH buckets (the bucket cap bounds bucket
+    size, not component diameter) converge well inside ``max_iterations``.
+    localCheckpoint truncates lineage each iteration (an unbounded
+    iterative lineage chain re-executes every prior join on failure and
+    overwhelms the planner). Convergence is checked with a LIMIT-1
+    existence probe per iteration — a driver action, but a constant-size
+    one. All joins key on node ids — shuffle-partitioned, no all-pairs,
+    no driver-side graph.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` — silently returning non-converged labels would
+    split one true component into several cluster_ids.
     """
     fwd = pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
     edges = fwd.unionByName(
@@ -354,14 +362,34 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "comp"
         )
-        new_labels = (
+        # checkpoint BEFORE the doubling self-join: the join below reads
+        # `propagated` twice, and over a deep derived lineage that trips
+        # Catalyst's union-constraint rewrite (key-not-found on the reused
+        # attribute); over a materialized leaf it is a plain self-join
+        propagated = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: comp ← label(comp). Every comp value is itself
+        # a node (labels cover all nodes and min-propagation only moves
+        # existing ids), so the self-join is total; coalesce is belt-and-
+        # braces for the root, whose label is itself.
+        new_labels = (
+            propagated.join(
+                propagated.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("__comp2")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("__comp2", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -374,4 +402,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — raise max_iterations (convergence is O(log "
+            "diameter) under pointer doubling, so this indicates a "
+            "pathological pair graph)"
+        )
     return labels

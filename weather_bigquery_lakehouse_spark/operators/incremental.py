@@ -19,17 +19,36 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     broadcast_updates: bool = False,
+    dedupe_order: list[str] | None = None,
 ) -> DataFrame:
     """MERGE semantics as a batch plan: rows from ``updates`` win on key
     collision, unmatched ``base`` rows survive, new ``updates`` keys are
     inserted. Expressed as anti-join + union — two narrow stages, no
     window, no driver state.
 
+    PRECONDITION: ``updates`` must be unique on ``keys`` — every update
+    row survives the union, so duplicate update keys would emit duplicate
+    rows where a real MERGE errors or applies exactly one row per key.
+    Callers with a raw (possibly multi-row-per-key) batch either
+    pre-aggregate it, or pass ``dedupe_order`` — ordering columns under
+    which the LAST row per key (descending order) deterministically wins,
+    reducing ``updates`` with one row_number window before the merge (the
+    window runs on the update batch only, never on ``base``).
+
     At scale the update batch is usually a small fraction of the base
     table: pass ``broadcast_updates=True`` and the anti-join becomes a
     broadcast hash join, leaving the base table un-shuffled (the plan a
     MERGE on a 100 TB fact table needs). Both inputs must share a schema.
     """
+    if dedupe_order:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in dedupe_order]
+        )
+        updates = (
+            updates.withColumn("__mu_rn", F.row_number().over(w))
+            .where(F.col("__mu_rn") == 1)
+            .drop("__mu_rn")
+        )
     upd = F.broadcast(updates) if broadcast_updates else updates
     return base.join(upd, keys, "left_anti").unionByName(updates)
 

@@ -24,6 +24,11 @@ LANG_ORDER = ["en", "fr", "es", "de"]  # deterministic tie-break order
 
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 
+# GPT-2-style pretokenizer classes (letters / digits / other, optional
+# leading space). No groups, no backreferences → identical semantics under
+# Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
 
 def tokens_expr(col: Column | str) -> Column:
     """lower/trim/whitespace-split token array, empties removed."""
@@ -42,13 +47,17 @@ def shingles_expr(tokens: Column, k: int = 3) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token counting: whitespace tokens + a chars/4 BPE-style estimate
-    (the standard "1 token ≈ 4 chars" heuristic, exact-integer math)."""
+    """Token counting: whitespace tokens, a chars/4 BPE-style estimate
+    (the standard "1 token ≈ 4 chars" heuristic, exact-integer math), and
+    the pretokenization-accurate GPT-2-class regex count."""
     toks = tokens_expr(text_col)
     return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.ceil(F.length(F.trim(F.col(text_col))) / F.lit(4)).alias("n_tokens_bpe_est"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_regex"),
     )
 
 

@@ -203,6 +203,7 @@ WHERE {_DUCK_BUCKET.format(key="'strat|' || CAST(doc_id AS VARCHAR)", mod=100)}
     "stratified sampling: per-language keep-percentages applied via salted "
     "md5 buckets — content-addressed (reproducible across engines/retries/"
     "layouts, unlike rand()), shuffle-free",
+    retired=True,  # driver window: md5-bucket selection driver-checked via split_train_val
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]

@@ -314,15 +314,23 @@ def run_incremental_gold_stream(
     only the new files' users.
 
     The local sink is a swap-replaced parquet snapshot (write to
-    ``<gold>.next``, then atomically rename over the old snapshot); on a
-    production lakehouse this foreachBatch body is verbatim a Delta /
-    Iceberg MERGE — the plan shape inside (broadcast anti-join + union) is
-    the same one merge_upsert pins. Assumes per-run in-order event files
-    (same contract as run_session_stream; out-of-order arrival needs the
-    batch to also max-compare against the existing gold row's ts).
+    ``<gold>.next``, then atomically rename over the old snapshot — torn
+    swaps from a crash are repaired by ``maintenance.recover_swap`` before
+    every merge); on a production lakehouse this foreachBatch body is
+    verbatim a Delta / Iceberg MERGE — the plan shape inside (broadcast
+    anti-join + union) is the same one merge_upsert pins. Out-of-order
+    delivery is safe: each merge keeps, per user, the max
+    (ts, event_type) across the existing gold row AND the batch, so a
+    late-replayed or split batch (maxFilesPerTrigger) can never regress
+    gold to an older event.
     """
+    from ..io.maintenance import commit_swap, recover_swap
     from ..operators.incremental import merge_upsert
 
+    # a crash between the swap renames leaves gold only in '.next'/'.old';
+    # repair here too (not just per-batch) so a run with NO new files
+    # still reads a recovered snapshot at the end
+    recover_swap(gold_dir)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
     stream = (
         spark.readStream.schema(EVENTS)
@@ -333,14 +341,12 @@ def run_incremental_gold_stream(
     )
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        import shutil
-
         sess = batch.sparkSession
-        # clear leftovers of a run that died mid-swap (the checkpoint will
-        # replay its batch, so dropping them loses nothing)
-        for stale in (gold_dir + ".next", gold_dir + ".old"):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+        # repair a run that died mid-swap BEFORE touching leftovers: if the
+        # gold dir is missing, '.next'/'.old' hold the only copy of all
+        # previously merged users — recover_swap promotes/restores it
+        # (the replayed merge below is idempotent), then drops debris
+        recover_swap(gold_dir)
         latest = (
             batch.groupBy("user_id")
             .agg(F.max(F.struct("ts", "event_type")).alias("__last"))
@@ -352,17 +358,29 @@ def run_incremental_gold_stream(
         )
         if os.path.isdir(gold_dir):
             base = sess.read.parquet(gold_dir)
-            merged = merge_upsert(base, latest, ["user_id"], broadcast_updates=True)
+            # newest-wins across base AND batch: the gold rows whose key is
+            # in this batch (≤ |batch| rows, via broadcast semi-join) are
+            # unioned with the batch and re-argmaxed, so an out-of-order or
+            # split batch never regresses a user to an older event. The
+            # base table itself still only sees broadcast joins.
+            hit = base.join(
+                F.broadcast(latest.select("user_id")), "user_id", "left_semi"
+            )
+            resolved = (
+                hit.unionByName(latest)
+                .groupBy("user_id")
+                .agg(F.max(F.struct("last_ts", "last_event_type")).alias("__last"))
+                .select(
+                    "user_id",
+                    F.col("__last.last_event_type").alias("last_event_type"),
+                    F.col("__last.last_ts").alias("last_ts"),
+                )
+            )
+            merged = merge_upsert(base, resolved, ["user_id"], broadcast_updates=True)
         else:
             merged = latest
-        nxt = gold_dir + ".next"
-        merged.write.mode("overwrite").parquet(nxt)
-        old = gold_dir + ".old"
-        if os.path.isdir(gold_dir):
-            os.rename(gold_dir, old)
-        os.rename(nxt, gold_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        merged.write.mode("overwrite").parquet(gold_dir + ".next")
+        commit_swap(gold_dir)
 
     (
         stream.writeStream.foreachBatch(_merge_batch)
