@@ -114,3 +114,14 @@ def test_anomaly_zscore_stats_broadcast_back(spark, sf_dir):
     plan = _plan(QUERIES["anomaly_zscore_events"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_session_plan_overlap_join_is_salted(spark, sf_dir):
+    """The sessions×SCD2 interval join keys on user_id, a power-law key:
+    the plan must carry the 8-way salt (pmod-of-hash on the left, explode
+    replication on the right) so a hot user's cross product spreads over
+    8 tasks instead of one straggler."""
+    plan = _plan(QUERIES["session_plan_overlap"].fn(spark, sf_dir), "simple")
+    assert "__salt" in plan, "salt column missing — hot-key spread lost"
+    assert "pmod" in plan.lower()
+    assert "Explode" in plan or "explode" in plan

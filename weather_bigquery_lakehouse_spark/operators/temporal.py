@@ -199,6 +199,7 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Keyed interval-overlap join: rows pair when they share the equi-key
     AND their intervals intersect. Left intervals are closed
@@ -208,16 +209,29 @@ def interval_overlap_join(
 
     The join shuffles on the equi-key only; the overlap predicate filters
     post-join. That is the right plan when the key is selective (per-user
-    interval sets are small); for hot keys or an un-keyed interval join,
-    bucketize time like ``range_join_count`` does so a key's intervals
-    never form one task's cross product.
+    interval sets are small). For hot keys (a power-law user owning a
+    large share of intervals), pass ``n_salts``: the left side is spread
+    across ``n_salts`` sub-keys (deterministic row-hash salt, as in
+    ``skew.salted_join``) and the right side replicated once per salt, so
+    a hot key's ``|L_k| × |R_k|`` cross product is evaluated by
+    ``n_salts`` tasks instead of one straggler. Result is identical; only
+    the shuffle layout changes.
     """
+    join_keys = list(keys)
+    if n_salts:
+        salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        left = left.withColumn("__salt", salt)
+        right = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        join_keys.append("__salt")
     l, r = left.alias("l"), right.alias("r")
     cond = None
-    for k in keys:
+    for k in join_keys:
         c = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = c if cond is None else (cond & c)
     overlap = (
         F.col(f"r.{r_end}").isNull() | (F.col(f"l.{l_start}") < F.col(f"r.{r_end}"))
     ) & (F.col(f"l.{l_end}") >= F.col(f"r.{r_start}"))
-    return l.join(r, cond & overlap)
+    out = l.join(r, cond & overlap)
+    return out.drop("__salt") if n_salts else out

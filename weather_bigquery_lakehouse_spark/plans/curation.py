@@ -586,9 +586,10 @@ FROM s JOIN v ON s.user_id = v.user_id
     "session_plan_overlap",
     _session_plan_overlap_sql(),
     "keyed interval-overlap join: per-user sessions matched to the SCD2 "
-    "validity windows they intersect — equi-join shuffles on user_id only, "
-    "overlap predicate filters post-join (selective key; bucketize like "
-    "range_join for hot keys)",
+    "validity windows they intersect — equi-join shuffles on user_id, "
+    "salted 8 ways (deterministic row-hash salt) so a hot user's "
+    "sessions×versions cross product spreads over 8 tasks instead of one "
+    "straggler; overlap predicate filters post-join",
 )
 def session_plan_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import interval_overlap_join, sessionize
@@ -613,6 +614,7 @@ def session_plan_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_end="session_end",
         r_start="valid_from",
         r_end="valid_to",
+        n_salts=8,  # events-by-user is power-law: spread hot users' cross products
     )
     return joined.select(
         F.col("l.user_id").alias("user_id"),
@@ -695,6 +697,25 @@ FROM ranked WHERE rn = 1
 """
 
 
+_GOLD_WORKDIRS: dict[str, str] = {}
+
+
+def _gold_workdir(sf_dir: str) -> str:
+    """One managed scratch root per (process, sf_dir), removed at exit —
+    repeat registry sweeps reuse the gold snapshot + checkpoint instead of
+    leaking a temp dir per invocation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _GOLD_WORKDIRS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="wbl_gold_q_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _GOLD_WORKDIRS[sf_dir] = root
+    return root
+
+
 @_register(
     "streaming_gold_user_latest",
     _SQL_STREAM_GOLD,
@@ -705,11 +726,13 @@ FROM ranked WHERE rn = 1
 )
 def streaming_gold_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.ingest import run_incremental_gold_stream
 
-    gold = os.path.join(tempfile.mkdtemp(prefix="wbl_gold_q_"), "user_latest")
+    root = _gold_workdir(sf_dir)
     return run_incremental_gold_stream(
-        spark, os.path.join(sf_dir, "events.parquet"), gold
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(root, "user_latest"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
     )
