@@ -259,3 +259,40 @@ def test_maintenance_compacts_and_expires(spark, tmp_path):
     silver = os.path.join(zones, "silver")
     entity = sorted(os.listdir(silver))[0]
     assert spark.read.parquet(os.path.join(silver, entity)).count() > 0
+
+
+# --------------------------------------------------------------------------
+# DAG spec: the runner's ordering is data, not code
+# --------------------------------------------------------------------------
+
+
+def test_pipeline_dag_spec_chain_and_flags():
+    """The spec must encode the reference DAG's chain and flags
+    (bronze → silver → gold, @daily, catchup off, 1 retry / 5 min) plus
+    the weekly maintenance tail."""
+    from weather_bigquery_lakehouse_spark.pipeline.runner import PIPELINE_DAG
+
+    assert PIPELINE_DAG.schedule == "@daily"
+    assert PIPELINE_DAG.catchup is False
+    assert PIPELINE_DAG.retries == 1 and PIPELINE_DAG.retry_delay_minutes == 5
+    order = PIPELINE_DAG.topological_order()
+    assert order.index("bronze_ingest_cities") < order.index("silver_transform")
+    assert order.index("bronze_ingest_weather") < order.index("silver_transform")
+    assert order.index("silver_transform") < order.index("gold_load")
+    assert order.index("gold_load") < order.index("zone_maintenance")
+    maint = [t for t in PIPELINE_DAG.tasks if t.task_id == "zone_maintenance"]
+    assert maint[0].cadence == "weekly"
+
+
+def test_dag_spec_rejects_cycles_and_unknown_upstreams():
+    import pytest as _pytest
+
+    from weather_bigquery_lakehouse_spark.pipeline.runner import DagSpec, TaskSpec
+
+    cyclic = DagSpec("d", "@daily", False, 1, 5,
+                     (TaskSpec("a", ("b",)), TaskSpec("b", ("a",))))
+    with _pytest.raises(ValueError, match="cycle"):
+        cyclic.validate()
+    dangling = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("a", ("ghost",)),))
+    with _pytest.raises(ValueError, match="unknown"):
+        dangling.validate()

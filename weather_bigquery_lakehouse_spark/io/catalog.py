@@ -39,13 +39,36 @@ def ensure_dir(spark: SparkSession, path: str) -> bool:
     (file://, s3a://, hdfs://) — the engine's version of the reference's
     ``create_bucket_if_not_exists`` (src/etl/utils/bucket.py:146-160).
     Returns True when the directory was created."""
-    sc = spark.sparkContext
-    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[attr-defined]
-    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    fs, hadoop_path = _hadoop_fs(spark, path)
     if fs.exists(hadoop_path):
         return False
     fs.mkdirs(hadoop_path)
     return True
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI the session's Hadoop conf can
+    resolve — the scheme (file://, s3a://, hdfs://) picks the
+    implementation, and fs.s3a.* settings from ``build_session(s3a=...)``
+    apply automatically."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[attr-defined]
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return fs, hadoop_path
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-dispatched existence probe (works for s3a://, unlike
+    ``os.path``)."""
+    fs, hadoop_path = _hadoop_fs(spark, path)
+    return bool(fs.exists(hadoop_path))
+
+
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Scheme-dispatched recursive delete; True when something was
+    removed."""
+    fs, hadoop_path = _hadoop_fs(spark, path)
+    return bool(fs.delete(hadoop_path, True))
 
 
 class GoldCatalog:
@@ -68,6 +91,9 @@ class GoldCatalog:
         self.dataset = dataset
         self.fmt = fmt
         self.options = dict(options or {})
+        # kept for scheme-aware exists/drop: an s3a:// or hdfs:// warehouse
+        # must go through the Hadoop FS API, never os.path/shutil
+        self._spark = spark
         if fmt != "bigquery":
             # CREATE DATASET IF NOT EXISTS (reference bigquery.py:7-17).
             # Hadoop-FS mkdirs when a session is available (works for s3a);
@@ -84,10 +110,30 @@ class GoldCatalog:
     def _table_path(self, table: str) -> str:
         return os.path.join(self._dataset_path(), table)
 
+    def _has_scheme(self) -> bool:
+        return "://" in self.warehouse_dir
+
     def table_exists(self, table: str) -> bool:
+        if self._spark is not None:
+            return fs_exists(self._spark, self._table_path(table))
+        if self._has_scheme():
+            raise ValueError(
+                f"warehouse {self.warehouse_dir!r} has a URI scheme — "
+                "construct GoldCatalog with spark= so exists/drop go "
+                "through the Hadoop FS API"
+            )
         return os.path.isdir(self._table_path(table))
 
     def drop_table(self, table: str) -> None:
+        if self._spark is not None:
+            fs_delete(self._spark, self._table_path(table))
+            return
+        if self._has_scheme():
+            raise ValueError(
+                f"warehouse {self.warehouse_dir!r} has a URI scheme — "
+                "construct GoldCatalog with spark= so exists/drop go "
+                "through the Hadoop FS API"
+            )
         shutil.rmtree(self._table_path(table), ignore_errors=True)
 
     # -- plan assembly (exposed so tests can assert it without a network) --

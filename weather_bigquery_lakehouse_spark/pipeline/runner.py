@@ -1,20 +1,92 @@
-"""Pipeline runner: bronze → silver → gold in one session.
+"""Pipeline runner: bronze → silver → gold (→ maintenance) in one session.
 
 Replaces the reference's Airflow DAG sequencing
-(airflow/dags/bigquery_weather_dag.py:63 —
-`bronze_ingest >> bronze_to_silver >> silver_to_gold`). Orchestration is a
-function call chain; any scheduler (Airflow, cron, Trigger.AvailableNow)
-can wrap it without the engine caring.
+(airflow/dags/bigquery_weather_dag.py:14-66 —
+`bronze_ingest >> bronze_to_silver >> silver_to_gold`, ``@daily``,
+``catchup=False``, 1 retry / 5 min). The ordering is DATA, not code: a
+scheduler-agnostic :class:`DagSpec` (task ids + dependency edges +
+schedule/retry/catchup flags) drives the runner, and any scheduler
+(Airflow, cron, Trigger.AvailableNow) can render the same spec into its
+own DAG without the engine caring.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from ..io.catalog import GoldCatalog
 from . import bronze, gold, silver
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    task_id: str
+    upstream: tuple[str, ...] = ()
+    cadence: str = "daily"  # maintenance runs on its own (slower) cadence
+
+
+@dataclass(frozen=True)
+class DagSpec:
+    """Scheduler-agnostic DAG description — the flags mirror the
+    reference DAG's (schedule/catchup/retries/retry_delay,
+    airflow/dags/bigquery_weather_dag.py:9-22)."""
+
+    dag_id: str
+    schedule: str
+    catchup: bool
+    retries: int
+    retry_delay_minutes: int
+    tasks: tuple[TaskSpec, ...] = field(default_factory=tuple)
+
+    def validate(self) -> None:
+        ids = [t.task_id for t in self.tasks]
+        if len(ids) != len(set(ids)):
+            raise ValueError(f"duplicate task ids in {self.dag_id}")
+        known = set(ids)
+        for t in self.tasks:
+            missing = set(t.upstream) - known
+            if missing:
+                raise ValueError(f"{t.task_id} depends on unknown {missing}")
+        self.topological_order()  # raises on cycles
+
+    def topological_order(self) -> list[str]:
+        """Deterministic topological sort (declaration order among
+        ready tasks)."""
+        remaining = {t.task_id: set(t.upstream) for t in self.tasks}
+        order: list[str] = []
+        while remaining:
+            ready = [t.task_id for t in self.tasks
+                     if t.task_id in remaining and not remaining[t.task_id]]
+            if not ready:
+                raise ValueError(f"cycle in {self.dag_id}: {sorted(remaining)}")
+            for task_id in ready:
+                order.append(task_id)
+                del remaining[task_id]
+                for deps in remaining.values():
+                    deps.discard(task_id)
+        return order
+
+
+#: The daily lakehouse cadence. Two independent bronze landings fan in to
+#: the silver transform; maintenance hangs off gold on a weekly cadence.
+PIPELINE_DAG = DagSpec(
+    dag_id="weather_lakehouse_daily",
+    schedule="@daily",
+    catchup=False,
+    retries=1,
+    retry_delay_minutes=5,
+    tasks=(
+        TaskSpec("bronze_ingest_cities"),
+        TaskSpec("bronze_ingest_weather"),
+        TaskSpec("silver_transform", ("bronze_ingest_cities", "bronze_ingest_weather")),
+        TaskSpec("gold_load", ("silver_transform",)),
+        TaskSpec("zone_maintenance", ("gold_load",), cadence="weekly"),
+    ),
+)
+PIPELINE_DAG.validate()
 
 
 def run_pipeline(
@@ -24,32 +96,60 @@ def run_pipeline(
     city_records: list[dict],
     forecast_records: list[dict],
     run_date: str | None = None,
+    dag: DagSpec = PIPELINE_DAG,
 ) -> dict:
-    """One full daily run. ``city_records``/``forecast_records`` come from
-    the injected sources (HTTP in production, fixtures in tests)."""
+    """One full daily run, executed in ``dag``'s topological order.
+    ``city_records``/``forecast_records`` come from the injected sources
+    (HTTP in production, fixtures in tests). Weekly-cadence tasks
+    (maintenance) are skipped here — schedulers run them via
+    :func:`run_maintenance` at their own cadence."""
     run_date = run_date or dt.date.today().isoformat()
+    ctx: dict = {}
 
-    bronze.land_records(
-        spark, city_records, bronze.CITY_PAYLOAD, zone_dir,
-        "ibge_cities", "IBGE API", run_date,
-    )
-    bronze.land_records(
-        spark, forecast_records, bronze.FORECAST_PAYLOAD, zone_dir,
-        "cptec_weather", "CPTEC API", run_date,
-    )
+    def _bronze_cities(sess: SparkSession) -> None:
+        bronze.land_records(
+            sess, city_records, bronze.CITY_PAYLOAD, zone_dir,
+            "ibge_cities", "IBGE API", run_date,
+        )
 
-    weather = silver.silver_weather(spark, zone_dir, run_date)
-    cities, violations = silver.silver_cities(spark, zone_dir, run_date)
-    cptec_cities = silver.silver_cptec_cities(spark, zone_dir, run_date)
+    def _bronze_weather(sess: SparkSession) -> None:
+        bronze.land_records(
+            sess, forecast_records, bronze.FORECAST_PAYLOAD, zone_dir,
+            "cptec_weather", "CPTEC API", run_date,
+        )
 
-    catalog = GoldCatalog(warehouse_dir)
-    tables = gold.load_gold(
-        spark, catalog, weather, cities, cptec_cities, modeling_date=run_date
-    )
+    def _silver(sess: SparkSession) -> None:
+        ctx["weather"] = silver.silver_weather(sess, zone_dir, run_date)
+        ctx["cities"], ctx["violations"] = silver.silver_cities(
+            sess, zone_dir, run_date
+        )
+        ctx["cptec_cities"] = silver.silver_cptec_cities(sess, zone_dir, run_date)
+
+    def _gold(sess: SparkSession) -> None:
+        ctx["catalog"] = GoldCatalog(warehouse_dir)
+        ctx["tables"] = gold.load_gold(
+            sess, ctx["catalog"], ctx["weather"], ctx["cities"],
+            ctx["cptec_cities"], modeling_date=run_date,
+        )
+
+    stages = {
+        "bronze_ingest_cities": _bronze_cities,
+        "bronze_ingest_weather": _bronze_weather,
+        "silver_transform": _silver,
+        "gold_load": _gold,
+    }
+    cadences = {t.task_id: t.cadence for t in dag.tasks}
+    executed = []
+    for task_id in dag.topological_order():
+        if cadences[task_id] != "daily":
+            continue
+        stages[task_id](spark)
+        executed.append(task_id)
     return {
-        "catalog": catalog,
-        "tables": tables,
-        "consistency_violations": violations,
+        "catalog": ctx["catalog"],
+        "tables": ctx["tables"],
+        "consistency_violations": ctx["violations"],
+        "executed": executed,
     }
 
 
