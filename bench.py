@@ -25,7 +25,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from weather_bigquery_lakehouse_spark.session import build_session
+from weather_bigquery_lakehouse_spark.operators import dedup as _dd
 from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
+from weather_bigquery_lakehouse_spark.plans import extensions as _ext
+
+# Index-sizing inputs behind the ANN/dedup timings, recorded so a bench
+# delta can be attributed to parameterization vs plan regression (the
+# round-3 ivf slowdown was the √n sizing rule kicking in, not the plan).
+SIZING = {
+    "similarity_ivf_topk": {
+        "n_cells": _ext._N_CELLS,
+        "n_probe_queries": _ext._N_PROBES,
+        "top_k": _ext._TOP_K,
+        "rule": f"ivf_n_cells({_ext._GATE_CORPUS_N})",
+    },
+    "similarity_lsh_topk": {"n_planes": _ext._N_PLANES, "n_probes": 1},
+    "similarity_lsh_multiprobe": {
+        "n_planes": _ext._N_PLANES,
+        "n_probes": _ext._N_MULTIPROBE,
+        "rule": f"lsh_n_planes({_ext._GATE_CORPUS_N}, occupancy=8)",
+    },
+    "dedup_minhash_lsh": {
+        "n_hashes": _dd.N_HASHES,
+        "band_rows": _dd.BAND_ROWS,
+        "n_bands": _dd.N_HASHES // _dd.BAND_ROWS,
+    },
+}
 
 # Headline set: the flagship star query + one representative per operator
 # family. (Correctness for the rest is the oracle gate's job; the bench
@@ -110,6 +135,7 @@ def main() -> None:
                 "extended_total": round(sum(extended.values()), 3),
                 "runs": runs,
                 "extended_runs": extended_runs,
+                "sizing": SIZING,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

