@@ -343,3 +343,23 @@ def test_interval_overlap_join_boundaries_and_open_end(spark):
     got = {(r.sid, r.version) for r in out.collect()}
     # session 200 ends exactly at valid_from → closed-left overlap counts it
     assert got == {(100, 1), (100, 2), (101, 2), (200, 1)}
+
+
+def test_gopher_top_unigram_is_max_multiplicity(spark):
+    """The sorted max-run fold must equal max token multiplicity exactly
+    (it replaced the O(distinct·n) distinct×count form): 'spam' appears
+    4/8 times → 0.5; an all-distinct doc scores 1/n."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam a spam b spam c spam d"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cu.gopher_quality_flags(docs).collect()}
+    assert got[1].top_unigram_frac == 0.5
+    assert got[2].top_unigram_frac == 0.1
+    assert got[3].top_unigram_frac == 1.0
+    # 0.5 > 0.2 cap trips the dominance flag; 0.1 ≤ 0.2 passes it
+    assert got[1].flag_top_unigram == 0 and got[2].flag_top_unigram == 1

@@ -421,12 +421,16 @@ def gopher_quality_flags(
     Everything is per-row array arithmetic over one shared token array —
     no shuffle, no UDFs; the filter streams at scan speed, which is what
     a pre-training corpus pass (where >99% of bytes are read once and
-    mostly discarded) has to do. The dominance rule is O(distinct·n) per
-    row via nested higher-order functions; pathological rows are exactly
-    the repetitive ones the rule exists to catch, and their distinct
-    count is small.
+    mostly discarded) has to do. The dominance rule (max unigram
+    multiplicity) is sort + one max-run-length fold — O(n log n) per row;
+    the naive distinct×filter form is O(distinct·n), i.e. quadratic on
+    exactly the NORMAL documents that dominate a corpus.
     """
-    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__t")).where(
+    # spread the CPU-bound tokenize/HOF stage before computing: a zone
+    # compacted into few files otherwise runs this scan-speed filter on
+    # few tasks (same pattern as dedup's shingle stage)
+    spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t")).where(
         F.size("__t") > 0
     )
     n = F.size("__t")
@@ -441,15 +445,25 @@ def gopher_quality_flags(
         F.size(grams) > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
     ).otherwise(F.lit(0.0))
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("__t")),
-                lambda d: F.size(F.filter(F.col("__t"), lambda x: x == d)),
-            )
-        ).cast("double")
-        / n
+    # max multiplicity = longest equal-run in the sorted array (tokens are
+    # non-empty, so the "" seed never matches). Value-identical to the
+    # oracle's distinct×count form; only the cost differs.
+    top_count = F.aggregate(
+        F.array_sort(F.col("__t")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+    top_frac = top_count.cast("double") / n
     lo, hi = GOPHER_MEAN_WORD_LEN
     flags = {
         "flag_n_tokens": (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS),
