@@ -363,3 +363,36 @@ def test_gopher_top_unigram_is_max_multiplicity(spark):
     assert got[3].top_unigram_frac == 1.0
     # 0.5 > 0.2 cap trips the dominance flag; 0.1 ≤ 0.2 passes it
     assert got[1].flag_top_unigram == 0 and got[2].flag_top_unigram == 1
+
+
+# --------------------------------------------------------------------------
+# mixture_balance
+# --------------------------------------------------------------------------
+
+
+def test_mixture_balance_hits_target_shares(spark):
+    """A skewed corpus (90% web / 10% code) rebalanced to 50/50 must be
+    bottlenecked by the rare source: all of code kept, web downsampled to
+    match, output shares ≈ targets, and selection deterministic."""
+    rows = [(i, "t", "web" if i < 9000 else "code") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = cu.mixture_balance(df, {"web": 0.5, "code": 0.5})
+    got = {r.source: r.cnt for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["code"] == 1000  # bottleneck source: keep everything
+    assert abs(got["web"] - 1000) < 120  # md5 buckets ≈ uniform
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in cu.mixture_balance(df, {"web": 0.5, "code": 0.5}).collect()}
+    assert a == b  # content-addressed, not rand()
+
+
+def test_mixture_balance_drops_untargeted_sources_and_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "t", "web"), (2, "t", "spamcrawl")], "doc_id bigint, text string, source string"
+    )
+    out = cu.mixture_balance(df, {"web": 1.0})
+    assert {r.source for r in out.collect()} == {"web"}
+    with _pytest.raises(ValueError, match="sum to 1"):
+        cu.mixture_balance(df, {"web": 0.4})

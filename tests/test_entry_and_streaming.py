@@ -297,3 +297,19 @@ def test_incremental_gold_out_of_order_batch_never_regresses(spark, tmp_path):
     out = run_incremental_gold_stream(spark, str(zone) + "/*", gold, checkpoint_dir=ckpt)
     row = out.where(F.col("user_id") == 10).first()
     assert row.last_event_type == "purchase"  # ts=300 wins over the late ts=200
+
+
+def test_retired_queries_still_execute(spark, sf_dir):
+    """Retired registry entries are out of the driver window but still
+    part of the product surface (bench + local verification) — each must
+    keep producing a well-formed result so they can't silently rot."""
+    from weather_bigquery_lakehouse_spark.plans import RETIRED
+
+    for name, spec in RETIRED.items():
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        assert df.columns, name
+        # empty is legitimate only for pair-producing dedup queries at
+        # this tiny scale factor; everything else must return rows
+        if not name.startswith("dedup_"):
+            assert n > 0, f"{name} returned no rows at {sf_dir}"

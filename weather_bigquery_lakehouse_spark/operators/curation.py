@@ -227,6 +227,59 @@ def sample_stratified(
     return df.where(bucket < keep_pct)
 
 
+_MIX_BUCKETS = 10_000  # basis-point keep-rate resolution
+
+
+def mixture_balance(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix|",
+) -> DataFrame:
+    """Downsample each source so the output matches a target domain
+    mixture — the training-data op behind "X% web, Y% code, Z% books".
+
+    The achievable output size is set by the bottleneck source
+    (``N_out = min_s n_s / share_s`` — no source is upsampled); each
+    source then keeps ``share_s · N_out / n_s`` of its rows via the
+    deterministic md5-bucket predicate (content-addressed: identical
+    selection across engines, runs, retries, and partition layouts).
+    Sources absent from ``targets`` are dropped (share 0).
+
+    Scale shape: one map-side-combined count per source (rows = number of
+    domains), keep-rates computed driver-side on that bounded list and
+    joined back via broadcast — the corpus itself streams through one
+    filter, shuffle-free.
+    """
+    if not targets or abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError("target shares must be non-empty and sum to 1")
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.select(F.col(source_col).alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }  # bounded: one row per domain
+    present = {s: share for s, share in targets.items() if counts.get(s)}
+    if not present:
+        return df.where(F.lit(False))
+    n_out = min(counts[s] / share for s, share in present.items())
+    rates = [
+        (s, int(min(1.0, share * n_out / counts[s]) * _MIX_BUCKETS))
+        for s, share in present.items()
+    ]
+    rate_df = F.broadcast(
+        df.sparkSession.createDataFrame(rates, f"{source_col} string, __keep_bp int")
+    )
+    bucket = md5_bucket(id_col, salt=salt, mod=_MIX_BUCKETS)
+    return (
+        df.join(rate_df, source_col)
+        .where(bucket < F.col("__keep_bp"))
+        .drop("__keep_bp")
+    )
+
+
 def shuffle_order(
     df: DataFrame, id_col: str = "doc_id", seed: str = "shuf42"
 ) -> DataFrame:
