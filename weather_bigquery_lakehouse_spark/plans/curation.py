@@ -210,6 +210,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.sample_stratified(docs).select("doc_id", "lang", "source")
 
 
+# Domain-mixture rebalance: targets are module constants so the SQL twin
+# is generated from the SAME dict as the Spark call (no drift possible).
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mixture_sql() -> str:
+    values = ", ".join(
+        f"('{s}', CAST({share} AS DOUBLE))" for s, share in _MIX_TARGETS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in _MIX_TARGETS)
+    bucket = _DUCK_BUCKET.format(
+        key="'mix|' || CAST(d.doc_id AS VARCHAR)", mod=cu._MIX_BUCKETS
+    )
+    return f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE source IN ({srcs}) GROUP BY source
+),
+t(source, share) AS (VALUES {values}),
+bottleneck AS (SELECT MIN(c.n / t.share) AS n_out FROM c JOIN t USING (source)),
+r AS (
+  SELECT c.source,
+         CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+              t.share * (SELECT n_out FROM bottleneck) / c.n)
+              * {cu._MIX_BUCKETS}) AS INT) AS keep_bp
+  FROM c JOIN t USING (source)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE {bucket} < r.keep_bp
+"""
+
+
+@_register(
+    "mixture_balance_docs",
+    _mixture_sql(),
+    "domain-mixture rebalance to target shares (50/30/20 over three "
+    "sources): bottleneck source sets the output size, per-source keep "
+    "rates from ONE bounded count aggregate broadcast back, row fate = "
+    "content-addressed md5 bucket — corpus streams through a single "
+    "filter, shuffle-free",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def mixture_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.mixture_balance(docs, _MIX_TARGETS).select("doc_id", "source")
+
+
 _SQL_SHUFFLE_ORDER = """
 WITH keyed AS (
   SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
