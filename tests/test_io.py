@@ -508,3 +508,47 @@ def test_catalog_specs_assemble_s3a_paths(spark):
     r = cat.reader_spec("weather_fact", columns=["city"], where="uf = 'SP'")
     assert r["path"] == "s3a://lake-bucket/warehouse/gold/weather_fact"
     assert r["where"] == "uf = 'SP'" and r["columns"] == ["city"]
+
+
+def test_swap_protocol_survives_every_crash_point(spark, tmp_path):
+    """Walk every crash point of the write-next/commit_swap protocol and
+    assert recover_swap always lands the zone on a complete snapshot —
+    either the new one (write finished) or the old one (it didn't)."""
+    import shutil
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import recover_swap
+
+    def fresh_zone(i):
+        zone = str(tmp_path / f"zone{i}")
+        spark.range(0, 10).coalesce(1).write.parquet(zone)           # old: 10 rows
+        spark.range(0, 20).coalesce(1).write.parquet(zone + ".next")  # new: 20 rows
+        return zone
+
+    # crash point A: .next written, no rename yet → old survives, debris gone
+    z = fresh_zone("a")
+    recover_swap(z)
+    assert spark.read.parquet(z).count() == 10
+    assert not os.path.isdir(z + ".next")
+
+    # crash point B: after rename(zone → .old) → new snapshot promoted
+    z = fresh_zone("b")
+    os.rename(z, z + ".old")
+    recover_swap(z)
+    assert spark.read.parquet(z).count() == 20
+    assert not os.path.isdir(z + ".old") and not os.path.isdir(z + ".next")
+
+    # crash point C: after rename(.next → zone), .old not yet deleted
+    z = fresh_zone("c")
+    os.rename(z, z + ".old")
+    os.rename(z + ".next", z)
+    recover_swap(z)
+    assert spark.read.parquet(z).count() == 20
+    assert not os.path.isdir(z + ".old")
+
+    # crash point D: fully committed → recovery is a no-op
+    z = fresh_zone("d")
+    os.rename(z, z + ".old")
+    os.rename(z + ".next", z)
+    shutil.rmtree(z + ".old")
+    assert recover_swap(z) == "none"
+    assert spark.read.parquet(z).count() == 20
