@@ -40,6 +40,10 @@ SIZING = {
         "rule": f"ivf_n_cells({_ext._GATE_CORPUS_N})",
     },
     "similarity_lsh_topk": {"n_planes": _ext._N_PLANES, "n_probes": 1},
+    "similarity_ivf_multiprobe": {
+        "n_cells": _ext._N_CELLS,
+        "n_probe_cells": _ext._N_IVF_PROBE_CELLS,
+    },
     "similarity_lsh_multiprobe": {
         "n_planes": _ext._N_PLANES,
         "n_probes": _ext._N_MULTIPROBE,
@@ -78,6 +82,7 @@ EXTENDED = [
     "dedup_lsh_verified",
     "similarity_lsh_multiprobe",
     "similarity_ivf_topk",
+    "similarity_ivf_multiprobe",
     "asof_last_click",
     "sessionize_events",
     "range_join_clicks_before_purchase",

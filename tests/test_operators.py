@@ -519,3 +519,34 @@ def test_minhash_lsh_candidate_recall_vs_jaccard_truth(spark, sf_dir):
     assert recall_mid >= 0.85, f"recall@s-curve midpoint collapsed: {recall_mid:.2f}"
     # candidate set stays pair-sized, not corpus-squared (banding precision)
     assert len(syn_cand) <= 3 * len(truth_mid)
+
+
+def test_ivf_multicell_probe_lifts_recall(spark):
+    """n_probe_cells is IVF's recall lever: searching each probe's P
+    nearest cells must lift recall@10 monotonically over P=1 (boundary
+    neighbors live just across a cell edge). Seeded → exact reproducible
+    recalls: 0.877 → 0.933 → 0.967 for P=1/2/4 on uniform vectors."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(5)
+    n, dim, k, nq = 2000, 16, 10, 30
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where(F.col("vec_id") < nq)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, probes, k=k).collect()
+    }
+
+    def recall(p):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(
+                emb, probes, n_cells=44, k=k, n_probe_cells=p
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 < r2 < r4, f"no monotone lift: {r1} {r2} {r4}"
+    assert r1 >= 0.8 and r4 >= 0.9, f"recall floor broken: {r1} {r4}"

@@ -109,11 +109,19 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_cells: int = 1,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus and probes are coarse-quantized to
     ``n_cells`` centroid cells; each probe scores only its own cell's
     inverted list. The cell join is a plain equi-join — work scales with
     cell occupancy (~n/n_cells), not corpus × probes.
+
+    ``n_probe_cells`` is the standard IVF recall lever: each probe
+    searches its P nearest cells instead of 1, recovering neighbors that
+    the coarse quantizer put just across a cell boundary. Join width
+    grows linearly in P; the CORPUS side still lives in exactly one cell
+    (its assignment stays the map-side-combined argmax — a window runs
+    only over the tiny probes×centroids frame).
 
     Centroids here are the first ``n_cells`` corpus vectors — a
     deterministic, oracle-checkable stand-in for an offline k-means
@@ -127,11 +135,30 @@ def ivf_topk(
         centroids,
         id_col="neighbor_id",
     ).withColumnRenamed(vec_col, "__c")
-    q = assign_cells(
-        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
-        centroids,
-        id_col="query_id",
-    ).withColumnRenamed(vec_col, "__q")
+    if n_probe_cells <= 1:
+        q = assign_cells(
+            probes.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            centroids,
+            id_col="query_id",
+        ).withColumnRenamed(vec_col, "__q")
+    else:
+        qsim = F.round(
+            _dot(F.col(vec_col), F.col("centroid"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("centroid"))),
+            SIM_DECIMALS,
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("__qsim").desc(), F.col("cell_id").asc()
+        )
+        q = (
+            probes.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+            .crossJoin(F.broadcast(centroids))
+            .select("query_id", F.col(vec_col).alias("__q"), "cell_id",
+                    qsim.alias("__qsim"))
+            .withColumn("__cr", F.row_number().over(wq))
+            .where(F.col("__cr") <= n_probe_cells)
+            .select("query_id", "__q", "cell_id")
+        )
     sim = F.round(
         _dot(F.col("__q"), F.col("__c")) / (_norm(F.col("__q")) * _norm(F.col("__c"))),
         SIM_DECIMALS,
