@@ -396,3 +396,30 @@ def test_mixture_balance_drops_untargeted_sources_and_validates(spark):
     assert {r.source for r in out.collect()} == {"web"}
     with _pytest.raises(ValueError, match="sum to 1"):
         cu.mixture_balance(df, {"web": 0.4})
+
+
+# --------------------------------------------------------------------------
+# repeated_span_flags
+# --------------------------------------------------------------------------
+
+
+def test_repeated_span_flags_global_frequency(spark):
+    """Span repetition is corpus-GLOBAL: a span shared by docs 1 and 2 is
+    repeated for both; doc 3's unique text scores 0; a doc with <k tokens
+    has no spans and is absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate footer text here plus one"),
+            (2, "totally different intro the same boilerplate footer text here"),
+            (3, "unique words that appear exactly once in corpus"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cu.repeated_span_flags(docs, k=5).collect()}
+    assert 4 not in out  # < 5 tokens → no spans
+    assert out[3].n_repeated_spans == 0 and out[3].repeated_frac == 0.0
+    # "the same boilerplate footer text" (+ shifted spans) repeat across 1↔2
+    assert out[1].n_repeated_spans >= 1 and out[2].n_repeated_spans >= 1
+    assert out[1].repeated_frac > 0 and out[2].repeated_frac > 0
+    assert out[1].n_spans == 4  # 8 tokens → 4 5-gram spans

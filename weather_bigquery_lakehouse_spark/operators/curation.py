@@ -227,6 +227,60 @@ def sample_stratified(
     return df.where(bucket < keep_pct)
 
 
+def repeated_span_flags(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide span repetition accounting: for each document,
+    the fraction of its word-``k``-gram spans that occur in at least
+    ``min_docs`` distinct documents. High fractions mark boilerplate,
+    mirrors, and templated pages — the spans C4's dedup rule removes.
+
+    This is GLOBAL frequency, not pairwise dedup: no candidate pairs, no
+    quadratic stage anywhere. Scale shape: per-doc-distinct span explode
+    (map-side), one count aggregate keyed on the span (combinable — the
+    shuffle carries (span, partial count)), the hot-span set joined back
+    onto the span stream by key. Work ∝ corpus spans, the same budget a
+    C4 pass spends at 100 TB.
+    """
+    spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("__span"),
+    )
+    # per-doc-distinct spans → plain COUNT(*) is the distinct-doc count
+    hot = (
+        sh.groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+    per = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        sh.join(hot, "__span")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_rep"))
+    )
+    return (
+        per.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("__n_rep"), F.lit(0)).cast("bigint")
+            .alias("n_repeated_spans"),
+            F.round(
+                F.coalesce(F.col("__n_rep"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
 _MIX_BUCKETS = 10_000  # basis-point keep-rate resolution
 
 

@@ -258,6 +258,46 @@ def mixture_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mixture_balance(docs, _MIX_TARGETS).select("doc_id", "source")
 
 
+_SPAN_K = 5
+
+_SQL_REPEATED_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, span FROM (
+    SELECT doc_id, unnest({_duck_shingles(k=_SPAN_K)}) AS span
+    FROM toks WHERE len(t) >= {_SPAN_K}
+  )
+),
+hot AS (SELECT span FROM sh GROUP BY span HAVING COUNT(*) >= 2),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_rep
+  FROM sh JOIN hot USING (span) GROUP BY sh.doc_id
+)
+SELECT per.doc_id, per.n_spans,
+       CAST(COALESCE(hits.n_rep, 0) AS BIGINT) AS n_repeated_spans,
+       ROUND(CAST(COALESCE(hits.n_rep, 0) AS DOUBLE) / per.n_spans, 6)
+           AS repeated_frac
+FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
+"""
+
+
+@_register(
+    "repeated_span_flags",
+    _SQL_REPEATED_SPANS,
+    f"C4-style corpus-wide span repetition: fraction of each doc's word-"
+    f"{_SPAN_K}-gram spans occurring in ≥2 distinct docs — global "
+    "frequency (one combinable count keyed on the span), no pairwise "
+    "stage anywhere",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.repeated_span_flags(docs, k=_SPAN_K)
+
+
 _SQL_SHUFFLE_ORDER = """
 WITH keyed AS (
   SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
