@@ -423,3 +423,54 @@ def test_repeated_span_flags_global_frequency(spark):
     assert out[1].n_repeated_spans >= 1 and out[2].n_repeated_spans >= 1
     assert out[1].repeated_frac > 0 and out[2].repeated_frac > 0
     assert out[1].n_spans == 4  # 8 tokens → 4 5-gram spans
+
+
+# --------------------------------------------------------------------------
+# chunk_documents + split_leakage_safe
+# --------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail_clamp(spark):
+    """Starts step by stride; the final start clamps to n-chunk so every
+    chunk is full-size; short docs yield one short chunk."""
+    from weather_bigquery_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        tx.chunk_documents(docs, chunk_tokens=6, stride=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [(r.chunk_idx, r.chunk_text) for r in out if r.doc_id == 1]
+    # n=10: starts 0, 4 → [t1..t6], [t5..t10] — tail overlaps, stays full
+    assert d1 == [(0, "t1 t2 t3 t4 t5 t6"), (1, "t5 t6 t7 t8 t9 t10")]
+    d2 = [(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in out if r.doc_id == 2]
+    assert d2 == [(0, "a b c", 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_split_leakage_safe_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must draw the same split; a
+    singleton reduces to the plain md5(doc_id) split."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.split_key, r.split)
+           for r in cu.split_leakage_safe(docs, pairs).collect()}
+    assert out[1] == out[2] == out[3]          # one cluster, one fate
+    assert out[1][0] == 1                       # keyed on the min id
+    assert out[5] == out[6] and out[5][0] == 5
+    assert out[4][0] == 4 and out[7][0] == 7    # singletons: own id
+    import hashlib
+
+    for d in (4, 7):
+        bucket = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 100
+        assert out[d][1] == ("val" if bucket < 10 else "train")

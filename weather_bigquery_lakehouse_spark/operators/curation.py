@@ -227,6 +227,42 @@ def sample_stratified(
     return df.where(bucket < keep_pct)
 
 
+def split_leakage_safe(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val split that near-duplicate clusters can never straddle —
+    the leakage-safe upgrade of the plain md5 split: a val doc whose
+    near-twin sits in train leaks the eval signal into training.
+
+    ``dup_pairs`` (doc_a, doc_b) are verified near-dup pairs (e.g.
+    ``dedup.lsh_verified_pairs``); connected components collapse them to
+    a cluster id, and the split key is the cluster representative
+    (min id) — so every member of a cluster draws the SAME md5 bucket.
+    Singleton docs key on their own id, reducing to the plain split.
+    Scale shape: the label frame is pair-graph-sized (tiny next to the
+    corpus) and joins the corpus on its id — one broadcastable join on
+    top of the components cost.
+    """
+    from .dedup import connected_components
+    from .text import train_val_split_expr
+
+    labels = connected_components(dup_pairs)
+    keyed = docs.join(
+        F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col(id_col)).cast("bigint").alias("split_key"),
+    )
+    return keyed.select(
+        id_col,
+        "split_key",
+        train_val_split_expr("split_key", val_pct).alias("split"),
+    )
+
+
 def repeated_span_flags(
     df: DataFrame,
     k: int = 5,

@@ -146,6 +146,51 @@ def normalize_text_expr(col: Column | str) -> Column:
     return F.lower(F.trim(collapsed))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the chunking
+    pass feeding RAG indexing and long-context training sets.
+
+    Window starts step by ``stride``; the FINAL start is clamped to
+    ``n - chunk_tokens`` so every chunk is full-size (the tail overlaps a
+    little more instead of emitting a fragment), except single-chunk docs
+    shorter than ``chunk_tokens``. Pure per-row array math (sequence →
+    slice → posexplode): no shuffle, no UDFs, output rows ∝ corpus
+    tokens / stride. Chunk identity is (doc_id, chunk_idx) — stable
+    across runs for incremental index maintenance.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens_expr(text_col).alias("__t")
+    ).where(F.size("__t") > 0)
+    n = F.size("__t")
+    n_starts = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast("int")
+        + F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.least(i * stride, F.greatest(n - chunk_tokens, F.lit(0))),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col("__t"), s + 1, chunk_tokens)
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
 def train_val_split_expr(
     id_col: Column | str, val_fraction_pct: int = 10
 ) -> Column:

@@ -651,6 +651,100 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAK_VAL_PCT = 10
+
+
+def _leakage_safe_split_sql() -> str:
+    from .extensions import _SQL_LSH_VERIFIED
+
+    bucket = _DUCK_BUCKET.format(key="CAST(split_key AS VARCHAR)", mod=100)
+    return f"""
+WITH RECURSIVE
+pairs AS ({_SQL_LSH_VERIFIED}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+walk AS (
+  SELECT v, v AS comp FROM nodes
+  UNION
+  SELECT e.b AS v, w.comp FROM walk w JOIN e ON e.a = w.v
+),
+labels AS (SELECT v AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY v),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS split_key
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN {bucket} < {_LEAK_VAL_PCT} THEN 'val' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+@_register(
+    "split_leakage_safe",
+    _leakage_safe_split_sql(),
+    "leakage-safe train/val split: near-dup clusters (LSH∘Jaccard pairs → "
+    "connected components) share one md5 split key, so a val doc's "
+    "near-twin can never land in train; singletons reduce to the plain "
+    "content-addressed split",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from .extensions import _LSH_VERIFY_THRESHOLD
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    pairs = dd.lsh_verified_pairs(docs, threshold=_LSH_VERIFY_THRESHOLD)
+    return cu.split_leakage_safe(docs, pairs, val_pct=_LEAK_VAL_PCT)
+
+
+_CHUNK_TOKENS, _CHUNK_STRIDE = 6, 4
+
+_SQL_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= {_CHUNK_TOKENS} THEN [0]
+              ELSE list_transform(
+                range(0, CAST(CEIL(CAST(n - {_CHUNK_TOKENS} AS DOUBLE)
+                                   / {_CHUNK_STRIDE}) AS INT) + 1),
+                i -> LEAST(i * {_CHUNK_STRIDE}, n - {_CHUNK_TOKENS}))
+         END AS ss
+  FROM base
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_idx,
+       array_to_string(t[ss[i] + 1 : ss[i] + {_CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(LEAST({_CHUNK_TOKENS}, n - ss[i]) AS BIGINT) AS n_chunk_tokens
+FROM starts, UNNEST(range(1, len(ss) + 1)) AS u(i)
+"""
+
+
+@_register(
+    "chunk_documents",
+    _SQL_CHUNKS,
+    f"RAG/long-context chunking: overlapping {_CHUNK_TOKENS}-token windows "
+    f"with stride {_CHUNK_STRIDE}, final start clamped so every chunk is "
+    "full-size — per-row sequence→slice→posexplode, no shuffle, stable "
+    "(doc_id, chunk_idx) identity for incremental index maintenance",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as tx
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return tx.chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )
+
+
 # --------------------------------------------------------------------------
 # Interval-overlap join: sessions × SCD2 plan-validity windows
 # --------------------------------------------------------------------------
