@@ -7,7 +7,9 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in ``weather_bigquery_lakehouse_spark``; this module
 only adapts the engine's query registry (plans/queries.py +
-plans/extensions.py) to the driver's interface.
+plans/extensions.py + plans/curation.py — the 50-entry driver window;
+see docs/REGISTRY.md for the out-of-window retired/staged set) to the
+driver's interface.
 """
 
 from __future__ import annotations
