@@ -14,7 +14,7 @@ import io
 
 from weather_bigquery_lakehouse_spark.io.readers import load_testdata
 from weather_bigquery_lakehouse_spark.operators import dedup as dd
-from weather_bigquery_lakehouse_spark.plans import QUERIES
+from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES as QUERIES
 
 
 def _plan(df, mode: str = "formatted") -> str:

@@ -16,7 +16,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import TESTDATA_TABLES
+from ..schemas import EVENTS, EVENTS_RAW_NS, TESTDATA_TABLES
+
+
+def events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Pick the pinned events schema matching this zone's physical ts
+    encoding (fixtures have shipped both TIMESTAMP(µs) and raw INT64
+    nanoseconds). The peek is a parquet FOOTER read at analysis time —
+    no data scan — and streaming readers need the schema up front, so
+    this is the one sanctioned schema-on-read probe in the engine."""
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    return EVENTS_RAW_NS if isinstance(ts_type, T.LongType) else EVENTS
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ts column to a microsecond TIMESTAMP_NTZ:
+    int64 nanoseconds are floor-divided to µs (exactly DuckDB's
+    conversion), timestamp columns are cast (µs already). Works on batch
+    and streaming frames — the schema is known either way."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def read_table(
@@ -73,15 +93,12 @@ def load_testdata(
     out: dict[str, DataFrame] = {}
     for name in tables or TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = read_table(spark, path, "parquet", schema=TESTDATA_TABLES[name])
         if name == "events":
-            # ts arrives as raw INT64 nanoseconds (see schemas.EVENTS);
-            # truncate to microseconds — exactly DuckDB's conversion —
-            # and expose a naive (NTZ) timestamp.
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            df = normalize_event_ts(
+                read_table(spark, path, "parquet", schema=events_schema(spark, path))
             )
+        else:
+            df = read_table(spark, path, "parquet", schema=TESTDATA_TABLES[name])
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

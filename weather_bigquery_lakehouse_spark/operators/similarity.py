@@ -31,6 +31,32 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def feature_hash_embed(tokens: Column, dim: int) -> Column:
+    """Deterministic feature-hashing embedding (`array<double>` of length
+    ``dim``): component j counts the tokens whose md5 bucket is j — the
+    classic hashing-trick bag-of-words.
+
+    This is the engine's embed STUB: real encoders run outside the engine
+    and land vectors in a column; pipelines that need an in-engine,
+    oracle-checkable vectorization (tests, the composed RAG query) use
+    this. Content-addressed (md5 of the token), so the same text maps to
+    the same vector in every engine/run/partition layout — and a DuckDB
+    twin can recompute it exactly. Pure per-row array math, JVM-side,
+    no shuffle; cost is O(dim · n_tokens) comparisons but only
+    O(n_tokens) md5 evaluations (buckets are computed once)."""
+    buckets = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % F.lit(dim),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(buckets, lambda b: b == j.cast("bigint"))).cast(
+            "double"
+        ),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     probes: DataFrame,

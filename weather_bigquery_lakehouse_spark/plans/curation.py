@@ -251,7 +251,6 @@ WHERE {bucket} < r.keep_bp
     "rates from ONE bounded count aggregate broadcast back, row fate = "
     "content-addressed md5 bucket — corpus streams through a single "
     "filter, shuffle-free",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def mixture_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -291,7 +290,6 @@ FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
     f"{_SPAN_K}-gram spans occurring in ≥2 distinct docs — global "
     "frequency (one combinable count keyed on the span), no pairwise "
     "stage anywhere",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -360,6 +358,7 @@ FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     "SCD Type-2 from the event log: lag change-detection + lead interval "
     "stitching + version numbers, all on one partitionBy(user_id) ordering "
     "— a single shuffle however many windows read it",
+    retired=True,  # driver window: subsumed by session_plan_overlap (calls inc.scd2_versions verbatim; its oracle embeds this SQL)
 )
 def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _views(spark, sf_dir, ["events"])["events"]
@@ -397,6 +396,7 @@ SELECT * FROM base UNION ALL SELECT * FROM upd
     "union (broadcast the update batch → the 100 TB base table never "
     "shuffles); update set here is a deterministic orders slice with "
     "decimal-exact repricing",
+    retired=True,  # driver window: subsumed by streaming_gold_user_latest (its foreachBatch calls inc.merge_upsert each micro-batch)
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _views(spark, sf_dir, ["orders"])["orders"]
@@ -691,7 +691,6 @@ FROM keyed
     "connected components) share one md5 split key, so a val doc's "
     "near-twin can never land in train; singletons reduce to the plain "
     "content-addressed split",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
@@ -734,7 +733,6 @@ FROM starts, UNNEST(range(1, len(ss) + 1)) AS u(i)
     f"with stride {_CHUNK_STRIDE}, final start clamped so every chunk is "
     "full-size — per-row sequence→slice→posexplode, no shuffle, stable "
     "(doc_id, chunk_idx) identity for incremental index maintenance",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as tx
@@ -743,6 +741,96 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
     )
+
+
+# --------------------------------------------------------------------------
+# Composed RAG pipeline: chunk → embed stub → index → top-k retrieval
+# --------------------------------------------------------------------------
+
+_RAG_DIM = 16  # feature-hash embedding width
+_RAG_PROBE_DOCS = 2  # chunks of these docs are the retrieval queries
+_RAG_K = 5
+_RAG_ID_BASE = 100_000  # chunk vec_id = doc_id * BASE + chunk_idx
+
+
+def _rag_sql() -> str:
+    bucketed = (
+        "list_transform(string_split(chunk_text, ' '), "
+        "t -> CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT) % "
+        f"{_RAG_DIM})"
+    )
+    embed = (
+        f"list_transform(range(0, {_RAG_DIM}), "
+        "j -> CAST(len(list_filter(bs, b -> b = j)) AS DOUBLE))"
+    )
+    from .extensions import _DUCK_DOT
+
+    dot_qc = _DUCK_DOT.format(a="qe", b="ce")
+    dot_qq = _DUCK_DOT.format(a="qe", b="qe")
+    dot_cc = _DUCK_DOT.format(a="ce", b="ce")
+    from ..operators import similarity as sim
+
+    return f"""
+WITH chunks AS ({_SQL_CHUNKS}),
+v AS (
+  SELECT doc_id * {_RAG_ID_BASE} + chunk_idx AS vec_id, {bucketed} AS bs
+  FROM chunks
+),
+e AS (SELECT vec_id, {embed} AS emb FROM v),
+q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e
+  WHERE vec_id < {_RAG_PROBE_DOCS * _RAG_ID_BASE}
+),
+c AS (SELECT vec_id AS neighbor_id, emb AS ce FROM e),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({dot_qc} / (SQRT({dot_qq}) * SQRT({dot_cc})), {sim.SIM_DECIMALS})
+             AS cosine_sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_RAG_K}
+"""
+
+
+@_register(
+    "rag_chunk_index_topk",
+    _rag_sql(),
+    "composed RAG retrieval pipeline: chunk_documents → feature-hash embed "
+    "stub → exact cosine top-k over the chunk index, as ONE load-bearing "
+    "plan — the chunking, vectorization plumbing, and the same cosine_topk "
+    "code path the retired similarity_cosine_topk entry checked, now "
+    "exercised in composition; probe side chunks only its own docs "
+    "(filter pushed to the scan), corpus chunked once",
+)
+def rag_chunk_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from ..operators import text as tx
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+
+    def vectorize(frame: DataFrame) -> DataFrame:
+        chunks = tx.chunk_documents(
+            frame, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+        )
+        return chunks.select(
+            (F.col("doc_id") * _RAG_ID_BASE + F.col("chunk_idx"))
+            .cast("bigint")
+            .alias("vec_id"),
+            sim.feature_hash_embed(
+                F.split(F.col("chunk_text"), " "), _RAG_DIM
+            ).alias("embedding"),
+        )
+
+    corpus = vectorize(docs)
+    probes = vectorize(docs.where(F.col("doc_id") < _RAG_PROBE_DOCS))
+    return sim.cosine_topk(corpus, probes, k=_RAG_K)
 
 
 # --------------------------------------------------------------------------

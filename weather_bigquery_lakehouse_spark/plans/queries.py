@@ -718,6 +718,7 @@ FROM sess GROUP BY user_id, session_idx
     "gap): lag → marker → running sum → per-session aggregate, ONE shuffle "
     "on the user key reused by window and aggregate (batch twin of a "
     "streaming session window)",
+    retired=True,  # driver window: subsumed by session_plan_overlap (calls sessionize verbatim; its oracle embeds this SQL)
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import sessionize

@@ -142,19 +142,28 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp, so the scan schema takes the raw INT64 (requires
-# spark.sql.legacy.parquet.nanosAsLong=true, set in session.py) and the
-# loader truncates to microseconds exactly like DuckDB does.
+# events.ts has shipped in TWO physical encodings across fixture
+# generations: parquet TIMESTAMP(MICROS) (current) and TIMESTAMP(NANOS)
+# (older fixtures — Spark has no nanosecond timestamp, so that scan takes
+# the raw INT64 via spark.sql.legacy.parquet.nanosAsLong=true, set in
+# session.py, and the loader truncates to microseconds exactly like
+# DuckDB does). Readers peek the parquet footer and pick the matching
+# pin (io/readers.py::events_schema / normalize_event_ts); both paths
+# normalize to a microsecond TIMESTAMP_NTZ column.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
+)
+
+#: Legacy fixture encoding: ts = raw INT64 nanoseconds.
+EVENTS_RAW_NS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS.fields]
 )
 
 DOCUMENTS = T.StructType(

@@ -21,7 +21,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import DOCUMENTS, EVENTS
+from ..io.readers import events_schema, normalize_event_ts
+from ..schemas import DOCUMENTS
 
 
 def _scratch(prefix: str) -> str:
@@ -61,13 +62,10 @@ def run_hourly_rollup_stream(
     (watermark never passes it on a finite stream)."""
     name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    schema = events_schema(spark, events_path)  # footer peek before dir-wrap
     events_path = _as_stream_dir(events_path)
-    stream = spark.readStream.schema(EVENTS).parquet(events_path).withColumn(
-        # raw INT64 nanos → microsecond-truncated naive timestamp
-        # (same conversion as the batch loader, io/readers.py)
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    # same µs-truncated TIMESTAMP_NTZ normalization as the batch loader
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_path))
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -151,9 +149,14 @@ def run_watermarked_rollup_stream(
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     output = output_dir or _scratch("wbl_stream_wm_")
     stream = (
-        spark.readStream.schema(EVENTS)
-        .parquet(_as_stream_dir(events_path))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_event_ts(
+            spark.readStream.schema(events_schema(spark, events_path)).parquet(
+                _as_stream_dir(events_path)
+            )
+        )
+        # EventTimeWatermark requires TIMESTAMP (not NTZ); session tz is
+        # pinned UTC, so the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -252,14 +255,11 @@ def run_session_stream(
             out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
             yield out
 
-    stream = (
-        spark.readStream.schema(EVENTS)
-        .parquet(_as_stream_dir(events_path))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_schema(spark, events_path)).parquet(
+            _as_stream_dir(events_path)
         )
-        .select("user_id", "ts", "value")
-    )
+    ).select("user_id", "ts", "value")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
@@ -344,11 +344,9 @@ def run_incremental_gold_stream(
     # still reads a recovered snapshot at the end
     recover_swap(gold_dir)
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
-    stream = (
-        spark.readStream.schema(EVENTS)
-        .parquet(_as_stream_dir(events_dir))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_schema(spark, events_dir)).parquet(
+            _as_stream_dir(events_dir)
         )
     )
 
