@@ -474,3 +474,45 @@ def test_split_leakage_safe_keeps_clusters_together(spark):
     for d in (4, 7):
         bucket = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 100
         assert out[d][1] == ("val" if bucket < 10 else "train")
+
+
+def test_split_leakage_safe_shuffle_fallback_identical_and_unbroadcast(spark):
+    """The label join must not broadcast unconditionally (a high-dup-rate
+    100 TB corpus can label billions of nodes): broadcast_labels=False
+    must produce the IDENTICAL split through a plain shuffled join, and
+    its physical plan must contain no broadcast exchange for the labels."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 30)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    bc = cu.split_leakage_safe(docs, pairs, broadcast_labels=True)
+    sh = cu.split_leakage_safe(docs, pairs, broadcast_labels=False)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(bc) == rows(sh)
+
+    # Static-plan check with auto-broadcast off: only a HINT can produce a
+    # broadcast. The fallback must plan a shuffled join (at scale the label
+    # frame's stats are large, so AQE keeps it; on this tiny fixture AQE
+    # would legitimately convert at runtime — that's adaptivity, not a hint).
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh_plan = (
+            cu.split_leakage_safe(docs, pairs, broadcast_labels=False)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in sh_plan
+        assert "SortMergeJoin" in sh_plan or "ShuffledHashJoin" in sh_plan
+        bc_plan = (
+            cu.split_leakage_safe(docs, pairs, broadcast_labels=True)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+        assert "BroadcastHashJoin" in bc_plan  # hint survives threshold=-1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # the auto path (None) on a tiny label frame picks the broadcast plan
+    auto = cu.split_leakage_safe(docs, pairs)
+    assert rows(auto) == rows(bc)

@@ -296,3 +296,95 @@ def test_dag_spec_rejects_cycles_and_unknown_upstreams():
     dangling = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("a", ("ghost",)),))
     with _pytest.raises(ValueError, match="unknown"):
         dangling.validate()
+
+
+def test_run_pipeline_rejects_unexecutable_dag(spark, tmp_path):
+    """ADVICE fix: a custom dag with an unknown daily task id, or one
+    omitting the ctx-producing stages, must fail fast with a descriptive
+    error — not a KeyError mid-run."""
+    from weather_bigquery_lakehouse_spark.pipeline.runner import DagSpec, TaskSpec
+
+    kwargs = dict(
+        zone_dir=str(tmp_path / "z"), warehouse_dir=str(tmp_path / "w"),
+        city_records=[], forecast_records=[],
+    )
+    bogus = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("mystery_stage"),))
+    with pytest.raises(ValueError, match="mystery_stage.*no\n?.*executable|no "):
+        run_pipeline(spark, dag=bogus, **kwargs)
+    partial_dag = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("gold_load"),))
+    with pytest.raises(ValueError, match="silver_transform"):
+        run_pipeline(spark, dag=partial_dag, **kwargs)
+
+
+def test_execute_stage_per_task_equals_in_process_pipeline(spark, tmp_path):
+    """Scheduler shape: each task in its own invocation, inputs re-read
+    from the zones — the gold tables must equal the single-session run."""
+    from weather_bigquery_lakehouse_spark.io.catalog import GoldCatalog
+    from weather_bigquery_lakehouse_spark.pipeline.runner import (
+        PIPELINE_DAG,
+        execute_stage,
+    )
+
+    cities, forecasts = fixture_city_rows(12), fixture_forecast_rows(12)
+    # reference run: in-process runner
+    ref = run_pipeline(
+        spark,
+        zone_dir=str(tmp_path / "zA"), warehouse_dir=str(tmp_path / "wA"),
+        city_records=cities, forecast_records=forecasts, run_date="2024-03-25",
+    )
+    # scheduler run: one execute_stage call per task, topological order
+    zone, wh = str(tmp_path / "zB"), str(tmp_path / "wB")
+    for task_id in PIPELINE_DAG.topological_order():
+        execute_stage(
+            spark, task_id, zone, wh, run_date="2024-03-25",
+            city_records=cities, forecast_records=forecasts,
+        )
+    cat = GoldCatalog(wh)
+    for name, df in ref["tables"].items():
+        got = cat.read_table(spark, name)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, df.collect())
+        ), name
+    with pytest.raises(ValueError, match="unknown task_id"):
+        execute_stage(spark, "nope", zone, wh)
+
+
+def test_rendered_airflow_dag_matches_reference_shape(tmp_path):
+    """The emitted dags/ file must reproduce the reference DAG's flags
+    (reference airflow/dags/bigquery_weather_dag.py:14-22: @daily,
+    catchup=False, retries=1, retry_delay 5 min) and the DagSpec's full
+    dependency chain, and be valid Python."""
+    import ast
+
+    from weather_bigquery_lakehouse_spark.pipeline.airflow_emit import (
+        write_airflow_dag,
+    )
+    from weather_bigquery_lakehouse_spark.pipeline.runner import PIPELINE_DAG
+
+    path = str(tmp_path / "weather_lakehouse.py")
+    text = write_airflow_dag(PIPELINE_DAG, path)
+    assert open(path).read() == text
+    compile(text, path, "exec")  # valid python
+    # flags mirror the reference DAG
+    assert 'schedule="@daily"' in text
+    assert "catchup=False" in text
+    assert '"retries": 1' in text
+    assert "retry_delay\": timedelta(minutes=5)" in text or \
+        '"retry_delay": timedelta(minutes=5)' in text
+    # every daily task is a PythonOperator bound to its task_id
+    for tid in ["bronze_ingest_cities", "bronze_ingest_weather",
+                "silver_transform", "gold_load"]:
+        assert f'task_id="{tid}"' in text
+        assert f'partial(execute_airflow_task, "{tid}")' in text
+    # the reference's dependency chain, extended with the bronze fan-in
+    assert "bronze_ingest_cities >> silver_transform" in text
+    assert "bronze_ingest_weather >> silver_transform" in text
+    assert "silver_transform >> gold_load" in text
+    # weekly maintenance renders into its own @weekly DAG, not dropped
+    assert 'schedule="@weekly"' in text
+    assert 'task_id="zone_maintenance"' in text
+    # two @dag definitions in one module, both invoked
+    tree = ast.parse(text)
+    dag_fns = [n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]
+    assert "weather_lakehouse_daily" in dag_fns
+    assert "weather_lakehouse_daily_weekly" in dag_fns

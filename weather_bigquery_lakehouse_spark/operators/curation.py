@@ -227,11 +227,18 @@ def sample_stratified(
     return df.where(bucket < keep_pct)
 
 
+#: Above this many labeled nodes the label frame stops being "tiny next to
+#: the corpus" and must not be broadcast (driver + every executor would
+#: hold a copy; a high-dup-rate 100 TB corpus can label billions of nodes).
+SPLIT_BROADCAST_MAX_LABELS = 5_000_000
+
+
 def split_leakage_safe(
     docs: DataFrame,
     dup_pairs: DataFrame,
     val_pct: int = 10,
     id_col: str = "doc_id",
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Train/val split that near-duplicate clusters can never straddle —
     the leakage-safe upgrade of the plain md5 split: a val doc whose
@@ -242,17 +249,27 @@ def split_leakage_safe(
     a cluster id, and the split key is the cluster representative
     (min id) — so every member of a cluster draws the SAME md5 bucket.
     Singleton docs key on their own id, reducing to the plain split.
-    Scale shape: the label frame is pair-graph-sized (tiny next to the
-    corpus) and joins the corpus on its id — one broadcastable join on
-    top of the components cost.
+
+    Scale shape: the label frame is pair-graph-sized, usually far smaller
+    than the corpus — but "usually" is not a plan guarantee, so the
+    broadcast is CONDITIONAL. ``broadcast_labels=None`` (default) decides
+    from the label count (a cheap action — connected_components returns a
+    localCheckpoint'ed frame): ≤ ``SPLIT_BROADCAST_MAX_LABELS`` labeled
+    nodes broadcast; more fall back to a plain shuffled left join (both
+    sides hash-partition on the id — the right plan when the dup graph is
+    itself data-scale). Pass True/False to pin the strategy and skip the
+    count. Both plans produce identical splits (pinned by pytest).
     """
     from .dedup import connected_components
     from .text import train_val_split_expr
 
     labels = connected_components(dup_pairs)
-    keyed = docs.join(
-        F.broadcast(labels.withColumnRenamed("node", id_col)), id_col, "left"
-    ).select(
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= SPLIT_BROADCAST_MAX_LABELS
+    lab = labels.withColumnRenamed("node", id_col)
+    if broadcast_labels:
+        lab = F.broadcast(lab)
+    keyed = docs.join(lab, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("comp"), F.col(id_col)).cast("bigint").alias("split_key"),
     )

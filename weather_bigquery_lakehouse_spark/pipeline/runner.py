@@ -138,6 +138,25 @@ def run_pipeline(
         "silver_transform": _silver,
         "gold_load": _gold,
     }
+    # Fail fast with a descriptive error instead of a KeyError mid-run: a
+    # custom dag may only reference executable stage ids (non-daily ids are
+    # dispatched by the scheduler, not here), and must include the ctx
+    # producers the gold stage consumes.
+    dag.validate()
+    daily_ids = {t.task_id for t in dag.tasks if t.cadence == "daily"}
+    unknown = daily_ids - set(stages)
+    if unknown:
+        raise ValueError(
+            f"dag {dag.dag_id}: daily task(s) {sorted(unknown)} have no "
+            f"executable stage; known stages: {sorted(stages)}"
+        )
+    required = {"silver_transform", "gold_load"}
+    if not required <= daily_ids:
+        raise ValueError(
+            f"dag {dag.dag_id}: missing required stage(s) "
+            f"{sorted(required - daily_ids)} — gold consumes silver's "
+            "outputs, neither can be omitted"
+        )
     cadences = {t.task_id: t.cadence for t in dag.tasks}
     executed = []
     for task_id in dag.topological_order():
@@ -151,6 +170,66 @@ def run_pipeline(
         "consistency_violations": ctx["violations"],
         "executed": executed,
     }
+
+
+def read_silver(spark: SparkSession, zone_dir: str, entity: str):
+    """Read a silver entity zone back from disk — the cross-process input
+    path for schedulers that run each DAG task in its own process (the
+    in-process runner hands DataFrames through ctx instead)."""
+    import os
+
+    return spark.read.parquet(os.path.join(zone_dir, "silver", entity))
+
+
+def execute_stage(
+    spark: SparkSession,
+    task_id: str,
+    zone_dir: str,
+    warehouse_dir: str,
+    run_date: str | None = None,
+    city_records: list[dict] | None = None,
+    forecast_records: list[dict] | None = None,
+    keep_dates: list[str] | None = None,
+) -> None:
+    """Execute ONE pipeline task in isolation — the entrypoint an external
+    scheduler (e.g. the Airflow DAG emitted by ``pipeline.airflow_emit``)
+    binds each task to. Unlike :func:`run_pipeline` (one session, outputs
+    handed through ctx), every stage here reads its inputs from the zones,
+    so tasks can run in separate processes exactly as a scheduler launches
+    them — the gold stage re-reads the silver zone the silver task wrote.
+    """
+    run_date = run_date or dt.date.today().isoformat()
+    if task_id == "bronze_ingest_cities":
+        bronze.land_records(
+            spark, city_records or [], bronze.CITY_PAYLOAD, zone_dir,
+            "ibge_cities", "IBGE API", run_date,
+        )
+    elif task_id == "bronze_ingest_weather":
+        bronze.land_records(
+            spark, forecast_records or [], bronze.FORECAST_PAYLOAD, zone_dir,
+            "cptec_weather", "CPTEC API", run_date,
+        )
+    elif task_id == "silver_transform":
+        silver.silver_weather(spark, zone_dir, run_date)
+        silver.silver_cities(spark, zone_dir, run_date)
+        silver.silver_cptec_cities(spark, zone_dir, run_date)
+    elif task_id == "gold_load":
+        gold.load_gold(
+            spark,
+            GoldCatalog(warehouse_dir),
+            read_silver(spark, zone_dir, "cptec_weather"),
+            read_silver(spark, zone_dir, "ibge_cities"),
+            read_silver(spark, zone_dir, "cptec_cities"),
+            modeling_date=run_date,
+        )
+    elif task_id == "zone_maintenance":
+        run_maintenance(spark, zone_dir, keep_dates=keep_dates)
+    else:
+        known = [
+            "bronze_ingest_cities", "bronze_ingest_weather",
+            "silver_transform", "gold_load", "zone_maintenance",
+        ]
+        raise ValueError(f"unknown task_id {task_id!r}; known: {known}")
 
 
 def run_maintenance(
