@@ -145,10 +145,16 @@ def main() -> None:
     # round 3's line grew past it (raw per-rep runs + sizing) and was
     # recorded unparsed. Keep the stdout line compact; full detail (raw
     # runs, index-sizing inputs) goes to a side file next to this script.
+    # Shed detail keys in order until the line fits the recorder's window;
+    # headline growth alone could previously still overflow after the one
+    # hardcoded pop. The totals always survive.
     line = json.dumps(summary)
-    if len(line) > 1900:  # belt-and-braces: shed per-query detail, keep totals
-        summary.pop("extended_queries")
+    for shed in ("extended_queries", "queries"):
+        if len(line) <= 1900:
+            break
+        summary.pop(shed, None)
         line = json.dumps(summary)
+    assert len(line) <= 1900, f"bench stdout line still {len(line)} chars"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(

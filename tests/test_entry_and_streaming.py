@@ -313,3 +313,54 @@ def test_retired_queries_still_execute(spark, sf_dir):
         # this tiny scale factor; everything else must return rows
         if not name.startswith("dedup_"):
             assert n > 0, f"{name} returned no rows at {sf_dir}"
+
+
+def test_watermarked_rollup_exactly_once_across_restart(spark, tmp_path):
+    """Cross-run checkpoint contract, counting RAW sink rows (a dict-based
+    check hides re-emission): a finalized window appears exactly once
+    across restarts, late data never re-emits it, and a restart with no
+    new files emits nothing at all."""
+    import pandas as pd
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_watermarked_rollup_stream,
+    )
+
+    zone = tmp_path / "wm2_zone"
+    zone.mkdir()
+    ckpt, sink = str(tmp_path / "wm2_ckpt"), str(tmp_path / "wm2_sink")
+
+    def evfile(name, rows):
+        data = [
+            (i, int(pd.Timestamp(ts).value), 1, "click", float(v), "{}")
+            for i, (ts, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ).write.parquet(str(zone / name))
+
+    def sink_rows():
+        out = run_watermarked_rollup_stream(
+            spark, str(zone) + "/*", delay="1 hour", checkpoint_dir=ckpt, output_dir=sink
+        )
+        return sorted((str(r.hour_start), r.n_events, r.total_value) for r in out.collect())
+
+    evfile("f1", [("2024-01-01 10:05:00", 1), ("2024-01-01 12:30:00", 4)])
+    got1 = sink_rows()
+    assert got1 == [("2024-01-01 10:00:00", 1, 1.0)]
+
+    # restart: late event for the emitted window + events advancing the clock
+    evfile("f2", [("2024-01-01 10:10:00", 8), ("2024-01-01 12:40:00", 2),
+                  ("2024-01-01 14:30:00", 16)])
+    got2 = sink_rows()
+    # RAW rows: 10:00 exactly once (late 10:10 dropped, no re-emission);
+    # 12:00 finalized once with BOTH its events (12:30 from run 1's state,
+    # 12:40 from run 2 — state survived the restart)
+    assert got2 == [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 12:00:00", 2, 6.0),
+    ]
+
+    # restart with no new input: nothing re-emitted, sink byte-identical
+    assert sink_rows() == got2

@@ -252,3 +252,46 @@ def test_exact_quantiles_matches_numpy(spark, vals):
         want = round(float(np.quantile(vals, p)), 6)
         got = row[f"x_p{int(p * 100)}"]
         assert abs(got - want) <= 1e-5 * max(1.0, abs(want))
+
+
+# --------------------------------------------------------------------------
+# chunk_documents clamp arithmetic vs a pure-Python reference
+# --------------------------------------------------------------------------
+
+_chunk_case = st.tuples(
+    st.integers(1, 40),   # n tokens
+    st.integers(1, 12),   # chunk_tokens
+    st.integers(1, 12),   # stride (clamped to chunk below)
+)
+
+
+def _ref_chunks(tokens: list[str], chunk: int, stride: int):
+    n = len(tokens)
+    if n <= chunk:
+        starts = [0]
+    else:
+        k = -(-(n - chunk) // stride) + 1  # ceil + 1
+        starts = [min(i * stride, n - chunk) for i in range(k)]
+    return [
+        (i, " ".join(tokens[s : s + chunk]), min(chunk, n - s))
+        for i, s in enumerate(starts)
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_chunk_case)
+def test_chunk_documents_matches_reference(spark, case):
+    """Start/stride/clamp arithmetic across the full (n, chunk, stride)
+    grid incl. n <= chunk and stride == chunk edges: every chunk full-size
+    except the single-chunk short doc, (doc_id, chunk_idx) stable."""
+    from weather_bigquery_lakehouse_spark.operators.text import chunk_documents
+
+    n, chunk, stride = case
+    stride = min(stride, chunk)
+    tokens = [f"w{i}" for i in range(n)]
+    docs = spark.createDataFrame([(1, " ".join(tokens))], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+    )
+    assert got == _ref_chunks(tokens, chunk, stride)

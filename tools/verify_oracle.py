@@ -97,6 +97,13 @@ def main() -> int:
         oracles.update(
             {n: s.oracle for n, s in RETIRED.items() if s.oracle is not None}
         )
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name would otherwise verify NOTHING and exit 0
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        print(f"     known: {sorted(qs)}")
+        spark.stop()
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -92,10 +92,16 @@ def exact_quantiles(
     )
     cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
     sizes = hp.groupBy("pid").agg(F.sum("cnt").alias("__sz"))
-    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        F.col("pid").alias("__opid"),
-        F.coalesce(F.sum("__sz").over(off_w), F.lit(0)).alias("__off"),
+    # Offset prefix-sum WITHOUT a global window: a triangular self-join
+    # (strictly-earlier partitions summed per partition). O(P²) pairs on a
+    # one-row-per-range-partition metadata frame is trivia, and it avoids
+    # WindowExec's "No Partition Defined" warning, which is aimed at
+    # data-scale frames and would alarm users in every run's stderr.
+    offsets = (
+        sizes.alias("a")
+        .join(sizes.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("__opid"))
+        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
     )
     ranked = cum.join(F.broadcast(offsets), cum["pid"] == offsets["__opid"]).select(
         "v",

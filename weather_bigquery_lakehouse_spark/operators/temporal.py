@@ -216,10 +216,18 @@ def interval_overlap_join(
     a hot key's ``|L_k| × |R_k|`` cross product is evaluated by
     ``n_salts`` tasks instead of one straggler. Result is identical; only
     the shuffle layout changes.
+
+    The salt hashes (keys, l_start, l_end) ONLY — not payload columns, so
+    an F.hash-unsupported payload type (e.g. map) can't fail the join and
+    adding columns doesn't reshuffle placements. Corollary: left rows
+    identical on key + interval share one salt bucket; if the skew IS
+    exact-duplicate intervals, dedupe or pre-aggregate them upstream —
+    replication can't spread identical work items apart deterministically.
     """
     join_keys = list(keys)
     if n_salts:
-        salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        salt_cols = [F.col(c) for c in (*keys, l_start, l_end)]
+        salt = F.pmod(F.hash(*salt_cols), F.lit(n_salts))
         left = left.withColumn("__salt", salt)
         right = right.withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
