@@ -56,6 +56,20 @@ SIZING = {
     },
 }
 
+
+def _rag_sizing():
+    from weather_bigquery_lakehouse_spark.plans import curation as _cur
+
+    return {
+        "embed_dim": _cur._RAG_DIM,
+        "chunk_tokens": _cur._RAG_CHUNK,
+        "stride": _cur._RAG_STRIDE,
+        "top_k": _cur._RAG_K,
+    }
+
+
+SIZING["rag_chunk_index_topk"] = _rag_sizing()
+
 # Headline set: the flagship star query + one representative per operator
 # family. (Correctness for the rest is the oracle gate's job; the bench
 # tracks the plans whose scale behavior matters.)
@@ -95,6 +109,13 @@ EXTENDED = [
     "train_shuffle_order",
     "quality_gopher_flags",
     "dedup_cluster_assign",
+    # round-5 window rotation + composed RAG pipeline
+    "rag_chunk_index_topk",
+    "mixture_balance_docs",
+    "repeated_span_flags",
+    "split_leakage_safe",
+    "chunk_documents",
+    "embedding_dup_clusters",
 ]
 
 

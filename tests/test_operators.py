@@ -550,3 +550,32 @@ def test_ivf_multicell_probe_lifts_recall(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 < r2 < r4, f"no monotone lift: {r1} {r2} {r4}"
     assert r1 >= 0.8 and r4 >= 0.9, f"recall floor broken: {r1} {r4}"
+
+
+def test_feature_hash_embed_forms_agree(spark):
+    """The expression form (per-row HOF, fine for small inputs) and the
+    frame form (explode + codegen hash + combinable counts, the corpus
+    path) must produce identical vectors — including empty buckets."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.operators.similarity import (
+        feature_hash_embed,
+        feature_hash_embed_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta", "alpha"]), (2, ["gamma"]), (3, ["x", "y", "z", "x"])],
+        "vec_id long, toks array<string>",
+    )
+    expr = {
+        r.vec_id: r.emb
+        for r in df.select(
+            "vec_id", feature_hash_embed(F.col("toks"), 8).alias("emb")
+        ).collect()
+    }
+    frame = {
+        r.vec_id: r.embedding
+        for r in feature_hash_embed_frame(df, F.col("toks"), 8).collect()
+    }
+    assert expr == frame
+    assert all(sum(v) == n for v, n in ((expr[1], 3), (expr[2], 1), (expr[3], 4)))

@@ -57,6 +57,43 @@ def feature_hash_embed(tokens: Column, dim: int) -> Column:
     )
 
 
+def feature_hash_embed_frame(
+    df: DataFrame,
+    tokens: Column,
+    dim: int,
+    id_col: str = "vec_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Frame-level twin of :func:`feature_hash_embed` — identical vectors,
+    different physical shape for corpus scale.
+
+    The expression form runs inside higher-order-function lambdas, which
+    Spark evaluates INTERPRETED (HOFs are codegen fallbacks) — fine for a
+    handful of rows, ~ms/row on a corpus. This form explodes the token
+    stream so md5/conv compile into whole-stage codegen, counts buckets
+    with a map-side-combinable aggregate (shuffle carries ≤ ``dim`` rows
+    per id), and reassembles the dense count vector from a bucket→count
+    map. One shuffle on the id, everything hot is compiled."""
+    tok = df.select(F.col(id_col), F.explode(tokens).alias("__t"))
+    b = tok.select(
+        F.col(id_col),
+        (F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("bigint") % dim)
+        .cast("int")
+        .alias("__b"),
+    )
+    counts = b.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    assembled = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__n"))).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at("__m", j.cast("int")).cast("double"), F.lit(0.0)
+        ),
+    )
+    return assembled.select(F.col(id_col), dense.alias(out_col))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -70,14 +107,23 @@ def cosine_topk(
     the corpus. Similarities are rounded to ``SIM_DECIMALS`` before the
     window rank, with the neighbor id as tie-break, so result order is a
     pure function of the data. Self-matches excluded."""
+    # Norms are projected ONCE per row before the join — Catalyst does not
+    # CSE the aggregate-fold across join pairs, so inlining _norm in the
+    # scoring expression would recompute each corpus norm per probe (and
+    # each probe norm per corpus row). Same arithmetic tree, |c| + |q|
+    # norm folds instead of 2·|c|·|q|.
     q = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__c"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     sim = F.round(
-        _dot(F.col("__q"), F.col("__c")) / (_norm(F.col("__q")) * _norm(F.col("__c"))),
+        _dot(F.col("__q"), F.col("__c")) / (F.col("__qn") * F.col("__cn")),
         SIM_DECIMALS,
     )
     scored = (
@@ -108,15 +154,28 @@ def assign_cells(
     (IVF uses √n cells), so the assignment is a broadcast join followed by
     ONE map-side-combinable aggregate per vector — no window sort, and the
     shuffle carries one row per (vector, centroid) pair reduced to one row
-    per vector by the partial aggregation."""
+    per vector by the partial aggregation.
+
+    Output carries ``__norm`` (the vector's L2 norm) so downstream scoring
+    reuses it instead of re-folding the array — norms are projected once
+    per row here, not once per (vector, centroid) pair."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__norm")
+    )
+    cent = centroids.select(
+        F.col(centroid_id_col),
+        F.col(centroid_vec_col),
+        _norm(F.col(centroid_vec_col)).alias("__cnorm"),
+    )
     sim = F.round(
         _dot(F.col(vec_col), F.col(centroid_vec_col))
-        / (_norm(F.col(vec_col)) * _norm(F.col(centroid_vec_col))),
+        / (F.col("__norm") * F.col("__cnorm")),
         SIM_DECIMALS,
     )
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    scored = v.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__norm"),
         F.struct((-sim).alias("neg_sim"), F.col(centroid_id_col).alias("cid")).alias(
             "__cand"
         ),
@@ -124,6 +183,7 @@ def assign_cells(
     # lexicographic struct MIN = highest similarity, then smallest cell id
     return scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
+        F.first("__norm").alias("__norm"),
         F.min("__cand").getField("cid").alias("cell_id"),
     )
 
@@ -156,37 +216,53 @@ def ivf_topk(
     centroids = embeddings.where(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
     )
-    c = assign_cells(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        centroids,
-        id_col="neighbor_id",
-    ).withColumnRenamed(vec_col, "__c")
-    if n_probe_cells <= 1:
-        q = assign_cells(
-            probes.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+    c = (
+        assign_cells(
+            embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
             centroids,
-            id_col="query_id",
-        ).withColumnRenamed(vec_col, "__q")
+            id_col="neighbor_id",
+        )
+        .withColumnRenamed(vec_col, "__c")
+        .withColumnRenamed("__norm", "__cn")
+    )
+    if n_probe_cells <= 1:
+        q = (
+            assign_cells(
+                probes.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+                centroids,
+                id_col="query_id",
+            )
+            .withColumnRenamed(vec_col, "__q")
+            .withColumnRenamed("__norm", "__qn")
+        )
     else:
         qsim = F.round(
             _dot(F.col(vec_col), F.col("centroid"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("centroid"))),
+            / (F.col("__qn") * F.col("__cenn")),
             SIM_DECIMALS,
         )
         wq = Window.partitionBy("query_id").orderBy(
             F.col("__qsim").desc(), F.col("cell_id").asc()
         )
         q = (
-            probes.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-            .crossJoin(F.broadcast(centroids))
-            .select("query_id", F.col(vec_col).alias("__q"), "cell_id",
+            probes.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col),
+                _norm(F.col(vec_col)).alias("__qn"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    centroids.withColumn("__cenn", _norm(F.col("centroid")))
+                )
+            )
+            .select("query_id", F.col(vec_col).alias("__q"), "__qn", "cell_id",
                     qsim.alias("__qsim"))
             .withColumn("__cr", F.row_number().over(wq))
             .where(F.col("__cr") <= n_probe_cells)
-            .select("query_id", "__q", "cell_id")
+            .select("query_id", "__q", "__qn", "cell_id")
         )
     sim = F.round(
-        _dot(F.col("__q"), F.col("__c")) / (_norm(F.col("__q")) * _norm(F.col("__c"))),
+        _dot(F.col("__q"), F.col("__c")) / (F.col("__qn") * F.col("__cn")),
         SIM_DECIMALS,
     )
     scored = (
@@ -222,17 +298,19 @@ def embedding_near_dup_pairs(
     v = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     a = v.select(
-        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__bucket"
+        F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
     )
     b = v.select(
-        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__bucket"
+        F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
     )
     cos = F.round(
-        _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         SIM_DECIMALS,
     )
     return (
@@ -291,15 +369,17 @@ def lsh_bucketed_topk(
     q = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
+        _norm(F.col(vec_col)).alias("__qn"),
         F.explode(F.array(*probe_buckets)).alias("__bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__c"),
+        _norm(F.col(vec_col)).alias("__cn"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     sim = F.round(
-        _dot(F.col("__q"), F.col("__c")) / (_norm(F.col("__q")) * _norm(F.col("__c"))),
+        _dot(F.col("__q"), F.col("__c")) / (F.col("__qn") * F.col("__cn")),
         SIM_DECIMALS,
     )
     scored = (

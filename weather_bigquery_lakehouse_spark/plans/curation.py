@@ -703,27 +703,32 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_TOKENS, _CHUNK_STRIDE = 6, 4
 
-_SQL_CHUNKS = f"""
+
+def _chunks_sql(chunk: int, stride: int) -> str:
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL
 ),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 starts AS (
   SELECT doc_id, t, n,
-         CASE WHEN n <= {_CHUNK_TOKENS} THEN [0]
+         CASE WHEN n <= {chunk} THEN [0]
               ELSE list_transform(
-                range(0, CAST(CEIL(CAST(n - {_CHUNK_TOKENS} AS DOUBLE)
-                                   / {_CHUNK_STRIDE}) AS INT) + 1),
-                i -> LEAST(i * {_CHUNK_STRIDE}, n - {_CHUNK_TOKENS}))
+                range(0, CAST(CEIL(CAST(n - {chunk} AS DOUBLE)
+                                   / {stride}) AS INT) + 1),
+                i -> LEAST(i * {stride}, n - {chunk}))
          END AS ss
   FROM base
 )
 SELECT doc_id,
        CAST(i - 1 AS INT) AS chunk_idx,
-       array_to_string(t[ss[i] + 1 : ss[i] + {_CHUNK_TOKENS}], ' ') AS chunk_text,
-       CAST(LEAST({_CHUNK_TOKENS}, n - ss[i]) AS BIGINT) AS n_chunk_tokens
+       array_to_string(t[ss[i] + 1 : ss[i] + {chunk}], ' ') AS chunk_text,
+       CAST(LEAST({chunk}, n - ss[i]) AS BIGINT) AS n_chunk_tokens
 FROM starts, UNNEST(range(1, len(ss) + 1)) AS u(i)
 """
+
+
+_SQL_CHUNKS = _chunks_sql(_CHUNK_TOKENS, _CHUNK_STRIDE)
 
 
 @_register(
@@ -751,6 +756,10 @@ _RAG_DIM = 16  # feature-hash embedding width
 _RAG_PROBE_DOCS = 2  # chunks of these docs are the retrieval queries
 _RAG_K = 5
 _RAG_ID_BASE = 100_000  # chunk vec_id = doc_id * BASE + chunk_idx
+# Production-shaped chunking for the index (the operator's defaults), NOT
+# the deliberately tiny 6/4 grid chunk_documents' own oracle stresses —
+# 6-token windows would 7× the chunk count for no retrieval realism.
+_RAG_CHUNK, _RAG_STRIDE = 64, 48
 
 
 def _rag_sql() -> str:
@@ -771,7 +780,7 @@ def _rag_sql() -> str:
     from ..operators import similarity as sim
 
     return f"""
-WITH chunks AS ({_SQL_CHUNKS}),
+WITH chunks AS ({_chunks_sql(_RAG_CHUNK, _RAG_STRIDE)}),
 v AS (
   SELECT doc_id * {_RAG_ID_BASE} + chunk_idx AS vec_id, {bucketed} AS bs
   FROM chunks
@@ -817,16 +826,17 @@ def rag_chunk_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def vectorize(frame: DataFrame) -> DataFrame:
         chunks = tx.chunk_documents(
-            frame, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+            frame, chunk_tokens=_RAG_CHUNK, stride=_RAG_STRIDE
         )
-        return chunks.select(
+        keyed = chunks.select(
             (F.col("doc_id") * _RAG_ID_BASE + F.col("chunk_idx"))
             .cast("bigint")
             .alias("vec_id"),
-            sim.feature_hash_embed(
-                F.split(F.col("chunk_text"), " "), _RAG_DIM
-            ).alias("embedding"),
+            F.split(F.col("chunk_text"), " ").alias("__toks"),
         )
+        # frame-form embed: codegen'd hashing + combinable bucket counts
+        # (the expression form's HOF lambdas run interpreted — ~ms/chunk)
+        return sim.feature_hash_embed_frame(keyed, F.col("__toks"), _RAG_DIM)
 
     corpus = vectorize(docs)
     probes = vectorize(docs.where(F.col("doc_id") < _RAG_PROBE_DOCS))
