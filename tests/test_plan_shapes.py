@@ -125,3 +125,24 @@ def test_session_plan_overlap_join_is_salted(spark, sf_dir):
     assert "__salt" in plan, "salt column missing — hot-key spread lost"
     assert "pmod" in plan.lower()
     assert "Explode" in plan or "explode" in plan
+
+
+def test_rag_probe_side_pushes_doc_filter_and_broadcasts_probes(spark, sf_dir):
+    """The composed RAG query must (a) push the probe-doc filter into the
+    probe side's parquet scan — chunking+embedding the whole corpus twice
+    to select two docs' chunks would double the heaviest stage — and (b)
+    broadcast the (tiny) probe side into the scoring cross join, never
+    shuffling the chunk index."""
+    plan = _plan(QUERIES["rag_chunk_index_topk"].fn(spark, sf_dir))
+    pushed = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "LessThan(doc_id,2)" in l
+    ]
+    assert pushed, "probe doc_id filter not pushed into a parquet scan"
+    # the tiny probe side is broadcast into the scoring cross join
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    # exactly two documents scans: one full corpus scan feeding the index,
+    # one doc_id-pruned probe scan — not two corpus-wide chunk+embed passes
+    scans = plan.count("documents.parquet]")
+    assert scans == 2, f"expected 2 documents scans (corpus + probes), got {scans}"
+    assert plan.count("LessThan(doc_id,2)") == 1

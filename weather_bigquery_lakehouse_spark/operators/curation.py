@@ -575,6 +575,66 @@ GOPHER_MAX_DUP_2GRAM_FRAC = 0.6
 GOPHER_MAX_TOP_UNIGRAM_FRAC = 0.2
 
 
+def token_df_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency fluency score — the cheap LM-perplexity proxy a
+    curation pipeline runs before (or instead of) a real model scorer:
+    fluent prose is made of tokens the corpus has seen everywhere; token
+    soup and OCR noise are made of tokens almost no other document uses.
+
+    Per document: ``mean_df_ratio`` = mean over its token OCCURRENCES of
+    (that token's document frequency / corpus doc count), and
+    ``rare_frac`` = fraction of occurrences whose token appears in exactly
+    one document. Engine-portable arithmetic: the numerators accumulate as
+    exact BIGINT sums (order-independent — a double AVG would hash-drift
+    across partial-aggregation orders), divided once at the end and
+    rounded.
+
+    Scale shape: one explode of the token stream; document frequencies
+    from one combinable distinct-doc aggregate keyed on the token; the
+    df table joins BACK onto the token stream by token — an honest
+    data-scale shuffle on both sides (the vocabulary of a 100 TB corpus
+    is not broadcastable), then one combinable per-doc aggregate.
+    """
+    base = docs.where(F.col(text_col).isNotNull())
+    tok = base.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t")
+    )
+    # corpus doc count as a lazy 1-row broadcast (same shape as TF-IDF's N)
+    nd = tok.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__ndocs"))
+    dfreq = (
+        tok.select(F.col(id_col), "__t")
+        .distinct()
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    scored = tok.join(dfreq, "__t")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__df").alias("__sum_df"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("__n_rare"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("bigint").alias("n_token_occurrences"),
+            F.round(
+                F.col("__sum_df").cast("double")
+                / (F.col("__n").cast("double") * F.col("__ndocs").cast("double")),
+                6,
+            ).alias("mean_df_ratio"),
+            F.round(
+                F.col("__n_rare").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("rare_frac"),
+        )
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -844,6 +844,98 @@ def rag_chunk_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-frequency fluency score (cheap LM-perplexity proxy)
+# --------------------------------------------------------------------------
+
+_SQL_TOKEN_DF_FLUENCY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+dfreq AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY t
+),
+per AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(df) AS BIGINT) AS sum_df,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM tok JOIN dfreq USING (t) GROUP BY tok.doc_id
+)
+SELECT doc_id,
+       n AS n_token_occurrences,
+       ROUND(CAST(sum_df AS DOUBLE) / (CAST(n AS DOUBLE) * nd.n_docs), 6)
+           AS mean_df_ratio,
+       ROUND(CAST(n_rare AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rare_frac
+FROM per CROSS JOIN nd
+"""
+
+
+@_register(
+    "quality_token_df_fluency",
+    _SQL_TOKEN_DF_FLUENCY,
+    "corpus-frequency fluency score (LM-perplexity proxy): per doc, mean "
+    "document-frequency ratio of its token occurrences + rare-token "
+    "fraction — exact BIGINT numerators (order-independent), one division "
+    "at the end; the df table joins back onto the token stream by token "
+    "(data-scale shuffle — a 100 TB vocabulary is not broadcastable)",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def quality_token_df_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.token_df_fluency(docs)
+
+
+# --------------------------------------------------------------------------
+# Watermarked append-mode rollup (the unbounded-stream late-data contract)
+# --------------------------------------------------------------------------
+
+_WM_DELAY_HOURS = 1
+
+_SQL_STREAM_WATERMARKED = f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY date_trunc('hour', ts)
+),
+wm AS (SELECT MAX(ts) - INTERVAL {_WM_DELAY_HOURS} HOUR AS w FROM events)
+SELECT hour_start, n_events, total_value
+FROM agg CROSS JOIN wm
+WHERE hour_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+@_register(
+    "streaming_watermarked_rollup",
+    _SQL_STREAM_WATERMARKED,
+    "watermarked APPEND-mode tumbling rollup (the unbounded-stream shape: "
+    "state bounded by the watermark horizon, windows emitted once and "
+    "immutably): on a finite replay the emitted set is exactly the batch "
+    "windows whose end the final watermark (max ts − delay) passed — "
+    "which is this query's oracle; cross-run restart/late-drop semantics "
+    "are pytest-verified",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def streaming_watermarked_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest import run_watermarked_rollup_stream
+
+    out = run_watermarked_rollup_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        delay=f"{_WM_DELAY_HOURS} hour",
+    )
+    return out.select(
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+# --------------------------------------------------------------------------
 # Interval-overlap join: sessions × SCD2 plan-validity windows
 # --------------------------------------------------------------------------
 
