@@ -197,3 +197,19 @@ class TestFlatten:
     def test_arrays_left_intact(self, spark):
         df = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
         assert flatten_structs(df).columns == ["id", "xs"]
+
+
+def test_distinct_counts_approx_within_hll_error(spark, sf_dir):
+    """The HLL path (the 100 TB per-column distinct: sketches merge
+    map-side, the shuffle carries one sketch per column instead of the
+    full column) must land within the sketch's error envelope of exact."""
+    from weather_bigquery_lakehouse_spark.functions.profiling import distinct_counts
+    from weather_bigquery_lakehouse_spark.io.readers import load_testdata
+
+    o = load_testdata(spark, sf_dir, ["orders"])["orders"]
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    exact = distinct_counts(o, cols).first()
+    approx = distinct_counts(o, cols, approx=True).first()
+    for c in cols:
+        e, a = exact[f"distinct_{c}"], approx[f"distinct_{c}"]
+        assert abs(a - e) <= max(2, 0.10 * e), (c, e, a)

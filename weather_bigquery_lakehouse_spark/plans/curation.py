@@ -704,10 +704,10 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_TOKENS, _CHUNK_STRIDE = 6, 4
 
 
-def _chunks_sql(chunk: int, stride: int) -> str:
+def _chunks_sql(chunk: int, stride: int, source: str = "documents") -> str:
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM {source} WHERE text IS NOT NULL
 ),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 starts AS (
@@ -841,6 +841,55 @@ def rag_chunk_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vectorize(docs)
     probes = vectorize(docs.where(F.col("doc_id") < _RAG_PROBE_DOCS))
     return sim.cosine_topk(corpus, probes, k=_RAG_K)
+
+
+# --------------------------------------------------------------------------
+# Incremental chunk-index maintenance: re-chunk changed docs, upsert by key
+# --------------------------------------------------------------------------
+
+_REFRESH_MOD = 10  # every 10th doc "changed" (its text grew)
+
+
+def _chunk_refresh_sql() -> str:
+    # The oracle is the FULL REBUILD over the post-change corpus — the
+    # incremental path must be indistinguishable from recomputing from
+    # scratch, which is the whole correctness bar for index maintenance.
+    inner = _chunks_sql(_RAG_CHUNK, _RAG_STRIDE, source="mod").strip()
+    return f"""
+WITH mod AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_REFRESH_MOD} = 0 THEN text || ' updated'
+              ELSE text END AS text
+  FROM documents
+),
+refreshed AS ({inner})
+SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM refreshed
+"""
+
+
+@_register(
+    "chunk_index_refresh",
+    _chunk_refresh_sql(),
+    "incremental chunk-index maintenance: changed docs are re-chunked and "
+    "group-wise upserted by doc_id (broadcast anti-join — the 100 TB chunk "
+    "index never shuffles; stale chunks of a shrunken doc disappear because "
+    "the REPLACE is per key, not per row) — oracle = full rebuild over the "
+    "post-change corpus, so incremental ≡ from-scratch is the checked "
+    "contract",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as tx
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    base = tx.chunk_documents(docs, chunk_tokens=_RAG_CHUNK, stride=_RAG_STRIDE)
+    changed_src = docs.where(F.col("doc_id") % _REFRESH_MOD == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" updated"))
+    )
+    changed = tx.chunk_documents(
+        changed_src, chunk_tokens=_RAG_CHUNK, stride=_RAG_STRIDE
+    )
+    return inc.merge_upsert(base, changed, ["doc_id"], broadcast_updates=True)
 
 
 # --------------------------------------------------------------------------
