@@ -893,6 +893,61 @@ def chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end corpus curation: quality filter → exact dedup → split
+# --------------------------------------------------------------------------
+
+_CURATE_VAL_PCT = 10
+
+
+def _curation_pipeline_sql() -> str:
+    bucket = _DUCK_BUCKET.format(key="CAST(keep_id AS VARCHAR)", mod=100)
+    return f"""
+WITH g AS ({_gopher_sql()}),
+kept AS (SELECT doc_id FROM g WHERE passes = 1),
+d AS (
+  SELECT documents.doc_id, sha256(TRIM(text)) AS text_sha
+  FROM documents JOIN kept USING (doc_id) WHERE text IS NOT NULL
+),
+canon AS (
+  SELECT text_sha, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM d GROUP BY text_sha
+)
+SELECT keep_id, text_sha, n_copies,
+       CASE WHEN {bucket} < {_CURATE_VAL_PCT} THEN 'val' ELSE 'train' END AS split
+FROM canon
+"""
+
+
+@_register(
+    "corpus_curation_pipeline",
+    _curation_pipeline_sql(),
+    "the end-to-end corpus-prep composition a training-data run executes: "
+    "Gopher/C4 quality gate → exact dedup on the survivors (canonical = "
+    "min id) → content-addressed train/val split of the keepers — three "
+    "operator code paths (gopher_quality_flags, exact_dedup_groups, "
+    "train_val_split_expr) load-bearing in ONE plan: per-row quality math "
+    "at scan speed, one digest-keyed aggregate, then a pure map",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators import text as tx
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    passing = (
+        cu.gopher_quality_flags(docs).where(F.col("passes") == 1).select("doc_id")
+    )
+    survivors = docs.join(passing, "doc_id")
+    groups = dd.exact_dedup_groups(survivors)
+    return groups.select(
+        F.col("keep_id"),
+        "text_sha",
+        "n_copies",
+        tx.train_val_split_expr("keep_id", _CURATE_VAL_PCT).alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus-frequency fluency score (cheap LM-perplexity proxy)
 # --------------------------------------------------------------------------
 
