@@ -166,9 +166,17 @@ def main() -> None:
     # round 3's line grew past it (raw per-rep runs + sizing) and was
     # recorded unparsed. Keep the stdout line compact; full detail (raw
     # runs, index-sizing inputs) goes to a side file next to this script.
-    # Shed detail keys in order until the line fits the recorder's window;
+    # The detail file keeps the FULL summary (its whole purpose); the
+    # stdout line sheds detail keys until it fits the recorder's window —
     # headline growth alone could previously still overflow after the one
-    # hardcoded pop. The totals always survive.
+    # hardcoded pop. The totals always survive on stdout.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
+            {**summary, "runs": runs, "extended_runs": extended_runs,
+             "sizing": SIZING},
+            f, indent=1,
+        )
     line = json.dumps(summary)
     for shed in ("extended_queries", "queries"):
         if len(line) <= 1900:
@@ -176,13 +184,6 @@ def main() -> None:
         summary.pop(shed, None)
         line = json.dumps(summary)
     assert len(line) <= 1900, f"bench stdout line still {len(line)} chars"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(
-            {**summary, "extended_queries": extended, "runs": runs,
-             "extended_runs": extended_runs, "sizing": SIZING},
-            f, indent=1,
-        )
     print(line)
     spark.stop()
 

@@ -298,6 +298,19 @@ def test_connected_components_raises_instead_of_returning_split_labels(spark):
         connected_components(pairs, max_iterations=2)
 
 
+def test_replace_groups_drops_stale_rows_of_shrunken_group(spark):
+    """Group-wise REPLACE (the multi-row-per-key sibling of merge_upsert):
+    a replaced key loses ALL its old rows — even when the new group is
+    smaller — and untouched keys keep theirs."""
+    base = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (2, 0, "x")],
+        "doc_id long, chunk_idx int, v string",
+    )
+    repl = spark.createDataFrame([(1, 0, "A")], "doc_id long, chunk_idx int, v string")
+    got = sorted(map(tuple, inc.replace_groups(base, repl, ["doc_id"]).collect()))
+    assert got == [(1, 0, "A"), (2, 0, "x")]  # chunks 1,2 of doc 1 gone
+
+
 def test_merge_upsert_dedupe_order_picks_one_row_per_key(spark):
     """An update batch with duplicate keys must not emit duplicate rows:
     with dedupe_order, the last row (descending order) deterministically

@@ -564,7 +564,8 @@ def test_feature_hash_embed_forms_agree(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, ["alpha", "beta", "alpha"]), (2, ["gamma"]), (3, ["x", "y", "z", "x"])],
+        [(1, ["alpha", "beta", "alpha"]), (2, ["gamma"]), (3, ["x", "y", "z", "x"]),
+         (4, [])],  # empty-token row: both forms must emit a zero vector
         "vec_id long, toks array<string>",
     )
     expr = {
@@ -578,4 +579,6 @@ def test_feature_hash_embed_forms_agree(spark):
         for r in feature_hash_embed_frame(df, F.col("toks"), 8).collect()
     }
     assert expr == frame
-    assert all(sum(v) == n for v, n in ((expr[1], 3), (expr[2], 1), (expr[3], 4)))
+    assert all(
+        sum(v) == n for v, n in ((expr[1], 3), (expr[2], 1), (expr[3], 4), (expr[4], 0))
+    )

@@ -388,3 +388,43 @@ def test_rendered_airflow_dag_matches_reference_shape(tmp_path):
     dag_fns = [n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]
     assert "weather_lakehouse_daily" in dag_fns
     assert "weather_lakehouse_daily_weekly" in dag_fns
+
+
+def test_bronze_only_partial_dag_runs(spark, tmp_path):
+    """The gold→silver requirement is one-directional: a bronze-only
+    re-landing dag must execute (no ctx consumers), returning empty gold
+    fields."""
+    from weather_bigquery_lakehouse_spark.pipeline.runner import DagSpec, TaskSpec
+
+    dag = DagSpec("bronze_backfill", "@daily", False, 1, 5,
+                  (TaskSpec("bronze_ingest_cities"),))
+    out = run_pipeline(
+        spark,
+        zone_dir=str(tmp_path / "z"), warehouse_dir=str(tmp_path / "w"),
+        city_records=fixture_city_rows(5), forecast_records=[],
+        run_date="2024-03-25", dag=dag,
+    )
+    assert out["executed"] == ["bronze_ingest_cities"]
+    assert out["tables"] is None and out["catalog"] is None
+
+
+def test_render_rejects_non_identifier_ids():
+    """Task/dag ids become Python identifiers in the emitted file — a dash
+    would render a SyntaxError'd dags/ module, so the renderer refuses."""
+    import pytest as _pytest
+
+    from weather_bigquery_lakehouse_spark.pipeline.airflow_emit import (
+        render_airflow_dag,
+    )
+    from weather_bigquery_lakehouse_spark.pipeline.runner import DagSpec, TaskSpec
+
+    bad = DagSpec("my-dag", "@daily", False, 1, 5, (TaskSpec("a"),))
+    with _pytest.raises(ValueError, match="identifier"):
+        render_airflow_dag(bad)
+    bad2 = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("silver-transform"),))
+    with _pytest.raises(ValueError, match="identifier"):
+        render_airflow_dag(bad2)
+    # all-weekly spec still renders valid python (empty daily body → pass)
+    weekly_only = DagSpec("d", "@daily", False, 1, 5,
+                          (TaskSpec("maint", cadence="weekly"),))
+    compile(render_airflow_dag(weekly_only), "<render>", "exec")

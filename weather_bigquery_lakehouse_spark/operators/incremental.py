@@ -53,6 +53,30 @@ def merge_upsert(
     return base.join(upd, keys, "left_anti").unionByName(updates)
 
 
+def replace_groups(
+    base: DataFrame,
+    replacement: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Group-wise REPLACE: every base row whose key appears in
+    ``replacement`` is dropped, then ALL replacement rows are appended —
+    the multi-row-per-key sibling of :func:`merge_upsert` (whose
+    precondition is one update row per key). The unit of replacement is
+    the whole key group, so a group that SHRANK loses its stale rows —
+    exactly what incremental index maintenance needs (a re-chunked doc
+    with fewer chunks must not keep orphans).
+
+    The anti-join keys on the replacement's DISTINCT key set (small by
+    contract: the changed groups), broadcast by default so the 100 TB
+    base never shuffles. Both inputs must share a schema.
+    """
+    ks = replacement.select(*keys).distinct()
+    if broadcast_keys:
+        ks = F.broadcast(ks)
+    return base.join(ks, keys, "left_anti").unionByName(replacement)
+
+
 def scd2_versions(
     df: DataFrame,
     key_col: str,

@@ -74,16 +74,28 @@ def feature_hash_embed_frame(
     with a map-side-combinable aggregate (shuffle carries ≤ ``dim`` rows
     per id), and reassembles the dense count vector from a bucket→count
     map. One shuffle on the id, everything hot is compiled."""
-    tok = df.select(F.col(id_col), F.explode(tokens).alias("__t"))
+    # explode_OUTER: an empty/null token array keeps one null-token row,
+    # so its id reaches the aggregate and emits a zero vector exactly like
+    # the expression form — without a second scan of the input to recover
+    # dropped ids (a join back would re-run the whole upstream lineage).
+    tok = df.select(F.col(id_col), F.explode_outer(tokens).alias("__t"))
     b = tok.select(
         F.col(id_col),
-        (F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("bigint") % dim)
-        .cast("int")
-        .alias("__b"),
+        F.when(
+            F.col("__t").isNotNull(),
+            (F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("bigint") % dim)
+            .cast("int"),
+        ).alias("__b"),
     )
     counts = b.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    # collect_list skips NULLs → the null-bucket sentinel contributes no
+    # map entry; map_from_entries([]) is {} and reads back as all-zero
     assembled = counts.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("__b", "__n"))).alias("__m")
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("__b").isNotNull(), F.struct("__b", "__n"))
+            )
+        ).alias("__m")
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

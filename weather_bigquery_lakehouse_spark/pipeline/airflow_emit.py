@@ -82,6 +82,15 @@ def render_airflow_dag(dag: DagSpec) -> str:
     (cross-cadence edges can't exist inside one Airflow DAG — the weekly
     DAG documents them as comments instead)."""
     dag.validate()
+    bad = [
+        name
+        for name in [dag.dag_id, *(t.task_id for t in dag.tasks)]
+        if not name.isidentifier()
+    ]
+    if bad:
+        # ids become Python identifiers in the emitted file — a dash or
+        # space would render a SyntaxError'd dags/ module
+        raise ValueError(f"dag/task ids must be Python identifiers: {bad}")
     out = [
         _HEADER.format(
             dag_id=dag.dag_id,
@@ -108,7 +117,8 @@ def render_airflow_dag(dag: DagSpec) -> str:
             schedule=dag.schedule,
             catchup=dag.catchup,
             fn_name=dag.dag_id,
-            body="\n".join(body + edges),
+            # a dag whose tasks are all non-daily still renders valid python
+            body="\n".join(body + edges) or "    pass",
         )
     )
 
@@ -171,9 +181,11 @@ def execute_airflow_task(task_id: str) -> None:
         from .sources import CitySource, http_json_fetch
 
         src = CitySource(http_json_fetch())
+        names = [
+            x for x in os.environ.get("WBL_CITY_NAMES", "").split(",") if x
+        ]
         city_records = src.city_rows(
-            os.environ.get("WBL_CITY_NAMES", "").split(",") or [],
-            base_url=os.environ.get("WBL_CITY_API", ""),
+            names, base_url=os.environ.get("WBL_CITY_API", "")
         )
     elif task_id == "bronze_ingest_weather":
         from .sources import ForecastSource, http_json_fetch

@@ -150,12 +150,13 @@ def run_pipeline(
             f"dag {dag.dag_id}: daily task(s) {sorted(unknown)} have no "
             f"executable stage; known stages: {sorted(stages)}"
         )
-    required = {"silver_transform", "gold_load"}
-    if not required <= daily_ids:
+    # one-directional requirement: gold consumes silver's ctx outputs, so a
+    # dag running gold must also run silver; bronze-only partial dags (a
+    # re-landing backfill) are fine
+    if "gold_load" in daily_ids and "silver_transform" not in daily_ids:
         raise ValueError(
-            f"dag {dag.dag_id}: missing required stage(s) "
-            f"{sorted(required - daily_ids)} — gold consumes silver's "
-            "outputs, neither can be omitted"
+            f"dag {dag.dag_id}: gold_load requires silver_transform — gold "
+            "consumes the silver stage's outputs"
         )
     cadences = {t.task_id: t.cadence for t in dag.tasks}
     executed = []
@@ -165,9 +166,10 @@ def run_pipeline(
         stages[task_id](spark)
         executed.append(task_id)
     return {
-        "catalog": ctx["catalog"],
-        "tables": ctx["tables"],
-        "consistency_violations": ctx["violations"],
+        # .get: a partial dag (e.g. bronze-only backfill) has no gold ctx
+        "catalog": ctx.get("catalog"),
+        "tables": ctx.get("tables"),
+        "consistency_violations": ctx.get("violations"),
         "executed": executed,
     }
 

@@ -871,11 +871,11 @@ SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM refreshed
     "chunk_index_refresh",
     _chunk_refresh_sql(),
     "incremental chunk-index maintenance: changed docs are re-chunked and "
-    "group-wise upserted by doc_id (broadcast anti-join — the 100 TB chunk "
-    "index never shuffles; stale chunks of a shrunken doc disappear because "
-    "the REPLACE is per key, not per row) — oracle = full rebuild over the "
-    "post-change corpus, so incremental ≡ from-scratch is the checked "
-    "contract",
+    "group-wise REPLACED by doc_id (replace_groups: broadcast anti-join on "
+    "the changed-key set — the 100 TB chunk index never shuffles; stale "
+    "chunks of a shrunken doc disappear because the unit of replacement is "
+    "the key group) — oracle = full rebuild over the post-change corpus, "
+    "so incremental ≡ from-scratch is the checked contract",
     retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,7 +889,7 @@ def chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = tx.chunk_documents(
         changed_src, chunk_tokens=_RAG_CHUNK, stride=_RAG_STRIDE
     )
-    return inc.merge_upsert(base, changed, ["doc_id"], broadcast_updates=True)
+    return inc.replace_groups(base, changed, ["doc_id"])
 
 
 # --------------------------------------------------------------------------
