@@ -116,6 +116,11 @@ EXTENDED = [
     "split_leakage_safe",
     "chunk_documents",
     "embedding_dup_clusters",
+    # round-5 staged additions
+    "quality_token_df_fluency",
+    "streaming_watermarked_rollup",
+    "chunk_index_refresh",
+    "corpus_curation_pipeline",
 ]
 
 

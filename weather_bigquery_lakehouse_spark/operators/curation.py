@@ -690,21 +690,37 @@ def gopher_quality_flags(
     )
     top_frac = top_count.cast("double") / n
     lo, hi = GOPHER_MEAN_WORD_LEN
+    # Two projections on purpose: the HOF stat trees land as columns FIRST,
+    # then flags read those columns. Each stat is referenced several times
+    # (its rounded output column, its flag bounds, the `passes`
+    # conjunction); one flat projection would evaluate every interpreted
+    # HOF tree per reference — CollapseProject declines to re-inline
+    # non-cheap aliases with multiple references, so this split pins one
+    # evaluation each.
+    stats = toks.select(
+        F.col(id_col),
+        n.alias("__n"),
+        mean_len.alias("__mean_len"),
+        dup_frac.alias("__dup_frac"),
+        top_frac.alias("__top_frac"),
+    )
+    sn, smean = F.col("__n"), F.col("__mean_len")
+    sdup, stop = F.col("__dup_frac"), F.col("__top_frac")
     flags = {
-        "flag_n_tokens": (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS),
-        "flag_mean_word_len": (mean_len >= lo) & (mean_len <= hi),
-        "flag_dup_2gram": dup_frac <= GOPHER_MAX_DUP_2GRAM_FRAC,
-        "flag_top_unigram": top_frac <= GOPHER_MAX_TOP_UNIGRAM_FRAC,
+        "flag_n_tokens": (sn >= GOPHER_MIN_TOKENS) & (sn <= GOPHER_MAX_TOKENS),
+        "flag_mean_word_len": (smean >= lo) & (smean <= hi),
+        "flag_dup_2gram": sdup <= GOPHER_MAX_DUP_2GRAM_FRAC,
+        "flag_top_unigram": stop <= GOPHER_MAX_TOP_UNIGRAM_FRAC,
     }
     passes = None
     for c in flags.values():
         passes = c if passes is None else (passes & c)
-    return toks.select(
+    return stats.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(dup_frac, 6).alias("dup_2gram_frac"),
-        F.round(top_frac, 6).alias("top_unigram_frac"),
+        sn.cast("bigint").alias("n_tokens"),
+        F.round(smean, 6).alias("mean_word_len"),
+        F.round(sdup, 6).alias("dup_2gram_frac"),
+        F.round(stop, 6).alias("top_unigram_frac"),
         *[v.cast("int").alias(k) for k, v in flags.items()],
         passes.cast("int").alias("passes"),
     )

@@ -934,8 +934,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as tx
 
     docs = _views(spark, sf_dir, ["documents"])["documents"]
+    # Aggregate barrier before the filter: a plain .where(passes == 1)
+    # substitutes the whole flag-conjunction expression tree into the
+    # Filter (predicate pushdown through Project), re-evaluating the
+    # HOF-heavy token stats ~4× (measured 17 s vs 5 s at sf0.1). Filters
+    # cannot push through an Aggregate, and doc_id is unique, so
+    # groupBy(doc_id).max(passes) is an identity reduction that pins ONE
+    # evaluation — the shuffle carries (id, int) pairs only.
     passing = (
-        cu.gopher_quality_flags(docs).where(F.col("passes") == 1).select("doc_id")
+        cu.gopher_quality_flags(docs)
+        .select("doc_id", "passes")
+        .groupBy("doc_id")
+        .agg(F.max("passes").alias("passes"))
+        .where(F.col("passes") == 1)
+        .select("doc_id")
     )
     survivors = docs.join(passing, "doc_id")
     groups = dd.exact_dedup_groups(survivors)
