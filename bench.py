@@ -121,6 +121,7 @@ EXTENDED = [
     "streaming_watermarked_rollup",
     "chunk_index_refresh",
     "corpus_curation_pipeline",
+    "streaming_chunk_index",
 ]
 
 

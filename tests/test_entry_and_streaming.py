@@ -364,3 +364,42 @@ def test_watermarked_rollup_exactly_once_across_restart(spark, tmp_path):
 
     # restart with no new input: nothing re-emitted, sink byte-identical
     assert sink_rows() == got2
+
+
+def test_streaming_chunk_index_replaces_shrunken_docs_across_runs(spark, tmp_path):
+    """The streamed chunk index must behave like the batch refresh across
+    runs: run 2's re-landed (shrunken) doc replaces ALL its old chunks —
+    no orphan chunk_idx rows — and untouched docs keep theirs."""
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_chunk_index_stream,
+    )
+
+    zone = tmp_path / "docs_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "ci_ckpt")
+    index = str(tmp_path / "chunk_index")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    long_text = " ".join(f"w{i}" for i in range(10))  # 10 tokens → 2 chunks (6/4)
+    spark.createDataFrame(
+        [(1, long_text, "en", "s", 1), (2, "a b c", "en", "s", 1)], schema
+    ).write.parquet(str(zone / "f1"))
+    out1 = run_chunk_index_stream(
+        spark, str(zone) + "/*", index, checkpoint_dir=ckpt,
+        chunk_tokens=6, stride=4,
+    )
+    got1 = {(r.doc_id, r.chunk_idx) for r in out1.collect()}
+    assert got1 == {(1, 0), (1, 1), (2, 0)}
+
+    # doc 1 re-lands SHRUNKEN (3 tokens → 1 chunk); doc 3 is new
+    spark.createDataFrame(
+        [(1, "x y z", "en", "s", 1), (3, "p q", "en", "s", 1)], schema
+    ).write.parquet(str(zone / "f2"))
+    out2 = run_chunk_index_stream(
+        spark, str(zone) + "/*", index, checkpoint_dir=ckpt,
+        chunk_tokens=6, stride=4,
+    )
+    rows2 = {(r.doc_id, r.chunk_idx): r.chunk_text for r in out2.collect()}
+    assert set(rows2) == {(1, 0), (2, 0), (3, 0)}  # (1,1) orphan gone
+    assert rows2[(1, 0)] == "x y z"  # replaced content, not the old chunk
+    assert rows2[(2, 0)] == "a b c"  # untouched doc intact

@@ -959,6 +959,40 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_chunk_index_sql() -> str:
+    inner = _chunks_sql(_RAG_CHUNK, _RAG_STRIDE).strip()
+    return f"""
+WITH chunked AS ({inner})
+SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunked
+"""
+
+
+@_register(
+    "streaming_chunk_index",
+    _stream_chunk_index_sql(),
+    "streaming RAG chunk-index maintenance (AvailableNow foreachBatch "
+    "replace_groups into a swap-committed parquet index, same crash-safe "
+    "swap as the streaming gold MERGE): one run over the full zone must "
+    "equal batch-chunking the corpus — the oracle; cross-run re-land/"
+    "shrink semantics are pytest-verified",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest import run_chunk_index_stream
+
+    root = _gold_workdir(sf_dir)
+    return run_chunk_index_stream(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(root, "chunk_index"),
+        checkpoint_dir=os.path.join(root, "chunk_ckpt"),
+        chunk_tokens=_RAG_CHUNK,
+        stride=_RAG_STRIDE,
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-frequency fluency score (cheap LM-perplexity proxy)
 # --------------------------------------------------------------------------

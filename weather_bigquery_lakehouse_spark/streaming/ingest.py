@@ -279,6 +279,61 @@ def run_session_stream(
     return spark.read.schema(SESSION_OUT_SCHEMA).parquet(output)
 
 
+def run_chunk_index_stream(
+    spark: SparkSession,
+    documents_path: str,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Streaming RAG chunk-index maintenance: the documents zone streams
+    with ``Trigger.AvailableNow``; each micro-batch re-chunks exactly the
+    documents in its new files and group-REPLACES them into the parquet
+    chunk index (``incremental.replace_groups`` — per-doc_id replacement,
+    so a re-landed doc's stale chunks disappear even when it shrank).
+
+    This is the live twin of the batch ``chunk_index_refresh`` query: the
+    checkpoint gives exactly-once file bookkeeping (re-runs touch only new
+    files), the snapshot uses the same write-next/rename swap with
+    torn-swap recovery as the streaming gold MERGE, and a single run over
+    a full zone must equal batch-chunking the whole corpus — which is the
+    oracle check. At scale the foreachBatch body is verbatim a Delta/
+    Iceberg ``MERGE``/``replaceWhere`` on the doc id."""
+    from ..io.maintenance import commit_swap, recover_swap
+    from ..operators.incremental import replace_groups
+    from ..operators.text import chunk_documents
+
+    recover_swap(index_dir)
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    stream = spark.readStream.schema(DOCUMENTS).parquet(
+        _as_stream_dir(documents_path)
+    )
+
+    def _refresh(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        recover_swap(index_dir)
+        chunks = chunk_documents(batch, chunk_tokens=chunk_tokens, stride=stride)
+        if os.path.isdir(index_dir):
+            base = sess.read.parquet(index_dir)
+            merged = replace_groups(base, chunks, ["doc_id"])
+        else:
+            merged = chunks
+        merged.write.mode("overwrite").parquet(index_dir + ".next")
+        commit_swap(index_dir)
+
+    (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(
+        "doc_id bigint, chunk_idx int, chunk_text string, n_chunk_tokens bigint"
+    ).parquet(index_dir)
+
+
 def incremental_zone_ingest(
     spark: SparkSession,
     source_dir: str,
