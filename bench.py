@@ -122,6 +122,7 @@ EXTENDED = [
     "chunk_index_refresh",
     "corpus_curation_pipeline",
     "streaming_chunk_index",
+    "quantiles_by_event_type",
 ]
 
 

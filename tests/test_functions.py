@@ -213,3 +213,29 @@ def test_distinct_counts_approx_within_hll_error(spark, sf_dir):
     for c in cols:
         e, a = exact[f"distinct_{c}"], approx[f"distinct_{c}"]
         assert abs(a - e) <= max(2, 0.10 * e), (c, e, a)
+
+
+def test_exact_group_quantiles_matches_reference_with_dominant_group(spark):
+    """A group owning ~95% of the rows must still produce exact
+    quantile_cont values — the design point is that a dominant group
+    spans range partitions instead of buffering in one task."""
+    from weather_bigquery_lakehouse_spark.functions.profiling import (
+        exact_group_quantiles,
+    )
+
+    big = [("hot", float(v)) for v in range(1000)]
+    small = [("cold", float(v)) for v in (3, 1, 4, 1, 5)]
+    df = spark.createDataFrame(big + small, "g string, x double").repartition(16)
+    got = {
+        r.g: (r.x_p25, r.x_p50, r.x_p95)
+        for r in exact_group_quantiles(df, "g", "x", [0.25, 0.5, 0.95], "x").collect()
+    }
+
+    def ref(vals, p):
+        s = sorted(vals)
+        pos = p * (len(s) - 1)
+        lo, hi = int(pos // 1), -(-pos // 1)
+        return round(s[int(lo)] + (s[int(hi)] - s[int(lo)]) * (pos - lo), 6)
+
+    for g, vals in (("hot", [v for _, v in big]), ("cold", [v for _, v in small])):
+        assert got[g] == tuple(ref(vals, p) for p in (0.25, 0.5, 0.95)), g

@@ -552,3 +552,43 @@ def test_swap_protocol_survives_every_crash_point(spark, tmp_path):
     shutil.rmtree(z + ".old")
     assert recover_swap(z) == "none"
     assert spark.read.parquet(z).count() == 20
+
+
+def test_events_loader_handles_all_three_ts_encodings(spark, tmp_path):
+    """The driver's fixtures have shipped events.ts as int64-nanos and as
+    TIMESTAMP(us); a tz-aware TIMESTAMP is the third plausible encoding.
+    The loader must normalize all three to the same µs TIMESTAMP_NTZ
+    values (round-5 lesson: a regenerated fixture flipped the encoding
+    and broke every ts-dependent query)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from weather_bigquery_lakehouse_spark.io.readers import load_testdata
+
+    base = pd.Timestamp("2024-01-01 10:30:00.123456")
+    rows = {
+        "event_id": [1], "user_id": [7], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }
+    variants = {
+        "ns_long": pa.table({**rows, "ts": pa.array([base.value], pa.int64())}),
+        "us_naive": pa.table(
+            {**rows, "ts": pa.array([base], pa.timestamp("us"))}
+        ),
+        "us_utc": pa.table(
+            {**rows, "ts": pa.array([base.tz_localize("UTC")],
+                                    pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    got = {}
+    for name, table in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_testdata(spark, str(d), ["events"])["events"]
+        assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType), name
+        got[name] = df.select("ts").first()[0]
+    assert got["ns_long"] == got["us_naive"] == got["us_utc"]
+    assert str(got["us_naive"]) == "2024-01-01 10:30:00.123456"

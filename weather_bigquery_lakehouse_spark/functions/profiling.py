@@ -143,6 +143,110 @@ def exact_quantiles(
     )
 
 
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    ps: list[float],
+    out_prefix: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Per-group exact interpolated quantiles — :func:`exact_quantiles`
+    generalized so no task ever buffers a group. Spark's own exact
+    ``percentile`` aggregate holds every value of a group in one
+    aggregation buffer: fine for small groups, an OOM when one group owns
+    a large share of a 100 TB table. Here the histogram keys on
+    (group, value), range-partitions on the same pair (a giant group
+    SPANS partitions instead of landing in one), per-partition cumulative
+    counts stitch into global rank intervals with per-(partition, group)
+    offsets, and the ~2·|ps| needed ranks per group broadcast-probe the
+    histogram. Peak task state = one histogram slice.
+
+    Output: one row per group, columns ``{out_prefix}_p{int(p*100)}``,
+    interpolation identical to SQL ``quantile_cont`` (rounded to 6dp).
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    g = group_col
+    vals = df.select(
+        F.col(g), F.col(col).cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    hist = vals.groupBy(g, "v").agg(F.count(F.lit(1)).alias("cnt"))
+    hp = hist.repartitionByRange(n_parts, F.col(g), F.col("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    in_w = (
+        Window.partitionBy("pid", g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
+    sizes = hp.groupBy("pid", g).agg(F.sum("cnt").alias("__sz"))
+    # per-group offset prefix-sum over partition ids — triangular join on
+    # the (n_parts × n_groups)-row metadata frame, same no-global-window
+    # trick as exact_quantiles
+    offsets = (
+        sizes.alias("a")
+        .join(
+            sizes.alias("b"),
+            (F.col(f"a.{g}") == F.col(f"b.{g}")) & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("__opid"), F.col(f"a.{g}").alias("__og"))
+        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
+    )
+    ranked = cum.join(
+        F.broadcast(offsets),
+        (cum["pid"] == offsets["__opid"]) & (cum[g] == offsets["__og"]),
+    ).select(
+        F.col(g),
+        "v",
+        (F.col("__off") + F.col("cum_in") - F.col("cnt")).alias("cum_start"),
+        (F.col("__off") + F.col("cum_in")).alias("cum_end"),
+    )
+    n_df = vals.groupBy(g).agg(F.count(F.lit(1)).alias("__n"))
+    pos = F.col("p") * (F.col("__n") - 1)
+    ranks = n_df.select(
+        F.col(g).alias("__rg"),
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        "__n",
+    ).select(
+        "__rg",
+        "p",
+        pos.alias("pos"),
+        F.floor(pos).cast("bigint").alias("lo"),
+        F.ceil(pos).cast("bigint").alias("hi"),
+    )
+    lo_hit = ranked.join(
+        F.broadcast(ranks),
+        (F.col(g) == F.col("__rg"))
+        & (F.col("lo") >= F.col("cum_start"))
+        & (F.col("lo") < F.col("cum_end")),
+    ).select(F.col(g), "p", "pos", "hi", F.col("v").alias("v_lo"))
+    both = ranked.join(
+        F.broadcast(lo_hit.withColumnRenamed(g, "__hg")),
+        (F.col(g) == F.col("__hg"))
+        & (F.col("hi") >= F.col("cum_start"))
+        & (F.col("hi") < F.col("cum_end")),
+    ).select(F.col(g), "p", "pos", "v_lo", F.col("v").alias("v_hi"))
+    q = both.select(
+        F.col(g),
+        "p",
+        (
+            F.col("v_lo")
+            + (F.col("v_hi") - F.col("v_lo")) * (F.col("pos") - F.floor("pos"))
+        ).alias("q"),
+    )
+    return q.groupBy(g).agg(
+        *[
+            F.round(F.max(F.when(F.col("p") == float(p), F.col("q"))), 6).alias(
+                f"{out_prefix}_p{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+
+
 def distinct_counts(df: DataFrame, cols: list[str] | None = None, approx: bool = False) -> DataFrame:
     """Distinct count per column in one pass — ``check_unique_values``
     (reference data_profiling.py:1-8) without the per-column job loop.

@@ -505,6 +505,36 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-group exact quantiles (distributed — no per-group buffering)
+# --------------------------------------------------------------------------
+
+_GQ_PS = [0.25, 0.5, 0.95]
+
+_SQL_GROUP_QUANTILES = "SELECT event_type, " + ", ".join(
+    f"ROUND(quantile_cont(value, {p}), 6) AS value_p{int(p * 100)}" for p in _GQ_PS
+) + " FROM events GROUP BY event_type"
+
+
+@_register(
+    "quantiles_by_event_type",
+    _SQL_GROUP_QUANTILES,
+    "per-group exact interpolated quantiles, computed distributed: "
+    "(group, value) histogram → range partition (a giant group SPANS "
+    "partitions) → per-(partition, group) offset stitching → broadcast "
+    "rank probes — Spark's own exact percentile would buffer each group "
+    "in one task (the OOM when one group dominates a 100 TB table)",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profiling import exact_group_quantiles
+
+    events = _views(spark, sf_dir, ["events"])["events"]
+    return exact_group_quantiles(
+        events, "event_type", "value", _GQ_PS, "value"
+    )
+
+
+# --------------------------------------------------------------------------
 # Z-score anomaly detection
 # --------------------------------------------------------------------------
 
