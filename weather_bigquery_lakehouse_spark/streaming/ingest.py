@@ -37,13 +37,25 @@ def _scratch(prefix: str) -> str:
     return d
 
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def _as_stream_dir(path: str) -> str:
     """The file-stream source lists a DIRECTORY; wrap a bare file in a temp
     dir via symlink (zero copy). Local-filesystem convenience for the test
-    harness — real zones are directories already."""
+    harness — real zones are directories already.
+
+    The wrapper dir is CACHED per source path: a stream checkpoint records
+    the source path, so a query re-invoked in the same process (bench
+    reps, repeated registry sweeps) must present the SAME directory or the
+    restart fails with a basePath mismatch."""
     if os.path.isfile(path):
-        zone = _scratch("wbl_stream_src_")
-        os.symlink(path, os.path.join(zone, os.path.basename(path)))
+        key = os.path.abspath(path)
+        zone = _STREAM_DIRS.get(key)
+        if zone is None:
+            zone = _scratch("wbl_stream_src_")
+            os.symlink(path, os.path.join(zone, os.path.basename(path)))
+            _STREAM_DIRS[key] = zone
         return zone
     return path
 
