@@ -225,7 +225,8 @@ def test_exact_group_quantiles_matches_reference_with_dominant_group(spark):
 
     big = [("hot", float(v)) for v in range(1000)]
     small = [("cold", float(v)) for v in (3, 1, 4, 1, 5)]
-    df = spark.createDataFrame(big + small, "g string, x double").repartition(16)
+    edge = [(None, 10.0), (None, 20.0), ("allnull", None)]  # SQL GROUP BY edges
+    df = spark.createDataFrame(big + small + edge, "g string, x double").repartition(16)
     got = {
         r.g: (r.x_p25, r.x_p50, r.x_p95)
         for r in exact_group_quantiles(df, "g", "x", [0.25, 0.5, 0.95], "x").collect()
@@ -239,3 +240,6 @@ def test_exact_group_quantiles_matches_reference_with_dominant_group(spark):
 
     for g, vals in (("hot", [v for _, v in big]), ("cold", [v for _, v in small])):
         assert got[g] == tuple(ref(vals, p) for p in (0.25, 0.5, 0.95)), g
+    # NULL group aggregates like any other; all-NULL group emits NULL row
+    assert got[None] == tuple(ref([10.0, 20.0], p) for p in (0.25, 0.5, 0.95))
+    assert got["allnull"] == (None, None, None)

@@ -74,65 +74,13 @@ def exact_quantiles(
     ``v_lo + (v_hi - v_lo) * (pos - floor(pos))`` with ``pos = p·(n-1)``,
     rounded to 6dp — the same arithmetic the DuckDB oracle's
     ``quantile_cont`` agrees with. Output: one row, columns
-    ``{out_prefix}_p{int(p*100)}``.
+    ``{out_prefix}_p{int(p*100)}`` (all NULL on empty input — SQL global
+    aggregate semantics).
     """
-    spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
-    vals = df.select(F.col(col).cast("double").alias("v")).where(
-        F.col("v").isNotNull()
-    )
-    hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    hp = hist.repartitionByRange(n_parts, "v").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    in_w = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
-    sizes = hp.groupBy("pid").agg(F.sum("cnt").alias("__sz"))
-    # Offset prefix-sum WITHOUT a global window: a triangular self-join
-    # (strictly-earlier partitions summed per partition). O(P²) pairs on a
-    # one-row-per-range-partition metadata frame is trivia, and it avoids
-    # WindowExec's "No Partition Defined" warning, which is aimed at
-    # data-scale frames and would alarm users in every run's stderr.
-    offsets = (
-        sizes.alias("a")
-        .join(sizes.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("__opid"))
-        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
-    )
-    ranked = cum.join(F.broadcast(offsets), cum["pid"] == offsets["__opid"]).select(
-        "v",
-        (F.col("__off") + F.col("cum_in") - F.col("cnt")).alias("cum_start"),
-        (F.col("__off") + F.col("cum_in")).alias("cum_end"),
-    )
-    n_df = vals.agg(F.count(F.lit(1)).alias("__n"))
-    pos = F.col("p") * (F.col("__n") - 1)
-    ranks = n_df.select(
-        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"), "__n"
-    ).select(
-        "p",
-        pos.alias("pos"),
-        F.floor(pos).cast("bigint").alias("lo"),
-        F.ceil(pos).cast("bigint").alias("hi"),
-    )
-    lo_hit = ranked.join(
-        F.broadcast(ranks),
-        (F.col("lo") >= F.col("cum_start")) & (F.col("lo") < F.col("cum_end")),
-    ).select("p", "pos", "hi", F.col("v").alias("v_lo"))
-    both = ranked.join(
-        F.broadcast(lo_hit),
-        (F.col("hi") >= F.col("cum_start")) & (F.col("hi") < F.col("cum_end")),
-    ).select("p", "pos", "v_lo", F.col("v").alias("v_hi"))
-    q = both.select(
-        "p",
-        (
-            F.col("v_lo")
-            + (F.col("v_hi") - F.col("v_lo")) * (F.col("pos") - F.floor("pos"))
-        ).alias("q"),
-    )
+    vals = df.select(
+        F.lit(1).alias("__g"), F.col(col).cast("double").alias("v")
+    ).where(F.col("v").isNotNull())
+    q = _quantile_values(vals, "__g", ps, n_parts)
     return q.agg(
         *[
             F.round(F.max(F.when(F.col("p") == float(p), F.col("q"))), 6).alias(
@@ -140,6 +88,88 @@ def exact_quantiles(
             )
             for p in ps
         ]
+    )
+
+
+def _quantile_values(vals: DataFrame, g: str, ps: list[float], n_parts: int | None) -> DataFrame:
+    """Shared quantile core: ``vals`` = (g, v double non-null) →
+    one row per (g, p) with the interpolated quantile ``q``. All joins on
+    the group key are NULL-SAFE so a NULL group behaves like any other
+    (SQL GROUP BY semantics). See :func:`exact_quantiles` for the plan
+    narrative; grouping only changes the keys — the histogram keys on
+    (g, v), range partitioning keys on the same pair (a dominant group
+    SPANS partitions instead of landing in one task), and offsets/ranks
+    are stitched per (partition, group)."""
+    spark = vals.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    hist = vals.groupBy(g, "v").agg(F.count(F.lit(1)).alias("cnt"))
+    hp = hist.repartitionByRange(n_parts, F.col(g), F.col("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    in_w = (
+        Window.partitionBy("pid", g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
+    sizes = hp.groupBy("pid", g).agg(F.sum("cnt").alias("__sz"))
+    # Offset prefix-sum WITHOUT a global window: a triangular self-join
+    # (strictly-earlier partitions summed per (partition, group)). O(P²)
+    # pairs on a metadata-scale frame is trivia, and it avoids WindowExec's
+    # "No Partition Defined" warning, which is aimed at data-scale frames
+    # and would alarm users in every run's stderr.
+    offsets = (
+        sizes.alias("a")
+        .join(
+            sizes.alias("b"),
+            F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("__opid"), F.col(f"a.{g}").alias("__og"))
+        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
+    )
+    ranked = cum.join(
+        F.broadcast(offsets),
+        (cum["pid"] == offsets["__opid"]) & cum[g].eqNullSafe(offsets["__og"]),
+    ).select(
+        F.col(g),
+        "v",
+        (F.col("__off") + F.col("cum_in") - F.col("cnt")).alias("cum_start"),
+        (F.col("__off") + F.col("cum_in")).alias("cum_end"),
+    )
+    n_df = vals.groupBy(g).agg(F.count(F.lit(1)).alias("__n"))
+    pos = F.col("p") * (F.col("__n") - 1)
+    ranks = n_df.select(
+        F.col(g).alias("__rg"),
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        "__n",
+    ).select(
+        "__rg",
+        "p",
+        pos.alias("pos"),
+        F.floor(pos).cast("bigint").alias("lo"),
+        F.ceil(pos).cast("bigint").alias("hi"),
+    )
+    lo_hit = ranked.join(
+        F.broadcast(ranks),
+        F.col(g).eqNullSafe(F.col("__rg"))
+        & (F.col("lo") >= F.col("cum_start"))
+        & (F.col("lo") < F.col("cum_end")),
+    ).select(F.col(g), "p", "pos", "hi", F.col("v").alias("v_lo"))
+    both = ranked.join(
+        F.broadcast(lo_hit.withColumnRenamed(g, "__hg")),
+        F.col(g).eqNullSafe(F.col("__hg"))
+        & (F.col("hi") >= F.col("cum_start"))
+        & (F.col("hi") < F.col("cum_end")),
+    ).select(F.col(g), "p", "pos", "v_lo", F.col("v").alias("v_hi"))
+    return both.select(
+        F.col(g),
+        "p",
+        (
+            F.col("v_lo")
+            + (F.col("v_hi") - F.col("v_lo")) * (F.col("pos") - F.floor("pos"))
+        ).alias("q"),
     )
 
 
@@ -162,88 +192,35 @@ def exact_group_quantiles(
     offsets, and the ~2·|ps| needed ranks per group broadcast-probe the
     histogram. Peak task state = one histogram slice.
 
-    Output: one row per group, columns ``{out_prefix}_p{int(p*100)}``,
-    interpolation identical to SQL ``quantile_cont`` (rounded to 6dp).
+    Output: one row per group — INCLUDING a NULL group (null-safe joins
+    throughout) and groups whose values are all NULL (their quantile
+    columns are NULL), exactly SQL GROUP BY semantics — with columns
+    ``{out_prefix}_p{int(p*100)}``, interpolation identical to SQL
+    ``quantile_cont`` (rounded to 6dp).
     """
-    spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
     g = group_col
     vals = df.select(
         F.col(g), F.col(col).cast("double").alias("v")
     ).where(F.col("v").isNotNull())
-    hist = vals.groupBy(g, "v").agg(F.count(F.lit(1)).alias("cnt"))
-    hp = hist.repartitionByRange(n_parts, F.col(g), F.col("v")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    in_w = (
-        Window.partitionBy("pid", g)
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hp.withColumn("cum_in", F.sum("cnt").over(in_w))
-    sizes = hp.groupBy("pid", g).agg(F.sum("cnt").alias("__sz"))
-    # per-group offset prefix-sum over partition ids — triangular join on
-    # the (n_parts × n_groups)-row metadata frame, same no-global-window
-    # trick as exact_quantiles
-    offsets = (
-        sizes.alias("a")
-        .join(
-            sizes.alias("b"),
-            (F.col(f"a.{g}") == F.col(f"b.{g}")) & (F.col("b.pid") < F.col("a.pid")),
-            "left",
-        )
-        .groupBy(F.col("a.pid").alias("__opid"), F.col(f"a.{g}").alias("__og"))
-        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
-    )
-    ranked = cum.join(
-        F.broadcast(offsets),
-        (cum["pid"] == offsets["__opid"]) & (cum[g] == offsets["__og"]),
-    ).select(
-        F.col(g),
-        "v",
-        (F.col("__off") + F.col("cum_in") - F.col("cnt")).alias("cum_start"),
-        (F.col("__off") + F.col("cum_in")).alias("cum_end"),
-    )
-    n_df = vals.groupBy(g).agg(F.count(F.lit(1)).alias("__n"))
-    pos = F.col("p") * (F.col("__n") - 1)
-    ranks = n_df.select(
-        F.col(g).alias("__rg"),
-        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
-        "__n",
-    ).select(
-        "__rg",
-        "p",
-        pos.alias("pos"),
-        F.floor(pos).cast("bigint").alias("lo"),
-        F.ceil(pos).cast("bigint").alias("hi"),
-    )
-    lo_hit = ranked.join(
-        F.broadcast(ranks),
-        (F.col(g) == F.col("__rg"))
-        & (F.col("lo") >= F.col("cum_start"))
-        & (F.col("lo") < F.col("cum_end")),
-    ).select(F.col(g), "p", "pos", "hi", F.col("v").alias("v_lo"))
-    both = ranked.join(
-        F.broadcast(lo_hit.withColumnRenamed(g, "__hg")),
-        (F.col(g) == F.col("__hg"))
-        & (F.col("hi") >= F.col("cum_start"))
-        & (F.col("hi") < F.col("cum_end")),
-    ).select(F.col(g), "p", "pos", "v_lo", F.col("v").alias("v_hi"))
-    q = both.select(
-        F.col(g),
-        "p",
-        (
-            F.col("v_lo")
-            + (F.col("v_hi") - F.col("v_lo")) * (F.col("pos") - F.floor("pos"))
-        ).alias("q"),
-    )
-    return q.groupBy(g).agg(
+    q = _quantile_values(vals, g, ps, n_parts)
+    pivoted = q.groupBy(g).agg(
         *[
             F.round(F.max(F.when(F.col("p") == float(p), F.col("q"))), 6).alias(
                 f"{out_prefix}_p{int(p * 100)}"
             )
             for p in ps
         ]
+    )
+    # completeness join: a group whose values are ALL null never reaches
+    # the histogram but still owns an output row (with NULL quantiles)
+    groups = df.select(F.col(g)).distinct()
+    return groups.join(
+        pivoted.withColumnRenamed(g, "__pg"),
+        F.col(g).eqNullSafe(F.col("__pg")),
+        "left",
+    ).select(
+        F.col(g),
+        *[f"{out_prefix}_p{int(p * 100)}" for p in ps],
     )
 
 

@@ -967,10 +967,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Aggregate barrier before the filter: a plain .where(passes == 1)
     # substitutes the whole flag-conjunction expression tree into the
     # Filter (predicate pushdown through Project), re-evaluating the
-    # HOF-heavy token stats ~4× (measured 17 s vs 5 s at sf0.1). Filters
-    # cannot push through an Aggregate, and doc_id is unique, so
-    # groupBy(doc_id).max(passes) is an identity reduction that pins ONE
-    # evaluation — the shuffle carries (id, int) pairs only.
+    # HOF-heavy token stats several times over — measured 17.4 s at sf0.1
+    # vs ~5 s for one cold evaluation of the gopher stage (1.6 s warm
+    # median behind this barrier). Filters cannot push through an
+    # Aggregate, and doc_id is unique, so groupBy(doc_id).max(passes) is
+    # an identity reduction that pins ONE evaluation — the shuffle
+    # carries (id, int) pairs only.
     passing = (
         cu.gopher_quality_flags(docs)
         .select("doc_id", "passes")

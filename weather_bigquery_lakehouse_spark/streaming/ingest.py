@@ -37,25 +37,25 @@ def _scratch(prefix: str) -> str:
     return d
 
 
-_STREAM_DIRS: dict[str, str] = {}
-
-
 def _as_stream_dir(path: str) -> str:
-    """The file-stream source lists a DIRECTORY; wrap a bare file in a temp
-    dir via symlink (zero copy). Local-filesystem convenience for the test
-    harness — real zones are directories already.
+    """The file-stream source lists a DIRECTORY; wrap a bare file in a
+    DETERMINISTIC temp dir via symlink (zero copy). Local-filesystem
+    convenience for the test harness — real zones are directories already.
 
-    The wrapper dir is CACHED per source path: a stream checkpoint records
-    the source path, so a query re-invoked in the same process (bench
-    reps, repeated registry sweeps) must present the SAME directory or the
+    The wrapper path is derived from the source path (md5), NOT random: a
+    stream checkpoint records the source path, so re-invoking the query —
+    in the same process (bench reps, registry sweeps) or from a fresh one
+    against a durable checkpoint — must present the SAME directory or the
     restart fails with a basePath mismatch."""
+    import hashlib
+
     if os.path.isfile(path):
-        key = os.path.abspath(path)
-        zone = _STREAM_DIRS.get(key)
-        if zone is None:
-            zone = _scratch("wbl_stream_src_")
-            os.symlink(path, os.path.join(zone, os.path.basename(path)))
-            _STREAM_DIRS[key] = zone
+        key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        zone = os.path.join(tempfile.gettempdir(), f"wbl_stream_src_{key}")
+        os.makedirs(zone, exist_ok=True)
+        link = os.path.join(zone, os.path.basename(path))
+        if not os.path.lexists(link):
+            os.symlink(path, link)
         return zone
     return path
 
@@ -316,6 +316,9 @@ def run_chunk_index_stream(
     from ..operators.incremental import replace_groups
     from ..operators.text import chunk_documents
 
+    index_schema = (
+        "doc_id bigint, chunk_idx int, chunk_text string, n_chunk_tokens bigint"
+    )
     recover_swap(index_dir)
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     stream = spark.readStream.schema(DOCUMENTS).parquet(
@@ -327,7 +330,9 @@ def run_chunk_index_stream(
         recover_swap(index_dir)
         chunks = chunk_documents(batch, chunk_tokens=chunk_tokens, stride=stride)
         if os.path.isdir(index_dir):
-            base = sess.read.parquet(index_dir)
+            # explicit schema: an index committed from an all-filtered
+            # batch has no part files, and schema inference would fail
+            base = sess.read.schema(index_schema).parquet(index_dir)
             merged = replace_groups(base, chunks, ["doc_id"])
         else:
             merged = chunks
@@ -341,9 +346,11 @@ def run_chunk_index_stream(
         .start()
         .awaitTermination()
     )
-    return spark.read.schema(
-        "doc_id bigint, chunk_idx int, chunk_text string, n_chunk_tokens bigint"
-    ).parquet(index_dir)
+    if not os.path.isdir(index_dir):
+        # an empty zone runs zero micro-batches: the index is legitimately
+        # empty, not an error
+        return spark.createDataFrame([], index_schema)
+    return spark.read.schema(index_schema).parquet(index_dir)
 
 
 def incremental_zone_ingest(
