@@ -428,3 +428,30 @@ def test_render_rejects_non_identifier_ids():
     weekly_only = DagSpec("d", "@daily", False, 1, 5,
                           (TaskSpec("maint", cadence="weekly"),))
     compile(render_airflow_dag(weekly_only), "<render>", "exec")
+
+
+def test_execute_airflow_task_env_glue_runs_silver_and_gold(spark, tmp_path, monkeypatch):
+    """The emitted DAG's task entrypoint must run real stages from env-var
+    config — and must NOT stop a pre-existing shared session (an Airflow
+    worker can host several PythonOperators in one process)."""
+    from weather_bigquery_lakehouse_spark.io.catalog import GoldCatalog
+    from weather_bigquery_lakehouse_spark.pipeline.airflow_emit import (
+        execute_airflow_task,
+    )
+    from weather_bigquery_lakehouse_spark.pipeline.runner import execute_stage
+
+    zone, wh = str(tmp_path / "z"), str(tmp_path / "w")
+    for task, recs in (
+        ("bronze_ingest_cities", dict(city_records=fixture_city_rows(8))),
+        ("bronze_ingest_weather", dict(forecast_records=fixture_forecast_rows(8))),
+    ):
+        execute_stage(spark, task, zone, wh, run_date="2024-03-25", **recs)
+
+    monkeypatch.setenv("WBL_ZONE_DIR", zone)
+    monkeypatch.setenv("WBL_WAREHOUSE_DIR", wh)
+    execute_airflow_task("silver_transform")
+    execute_airflow_task("gold_load")
+    assert spark.sparkContext._jsc is not None  # shared session survived
+    cat = GoldCatalog(wh)
+    assert cat.read_table(spark, "fact_weather").count() > 0
+    assert cat.read_table(spark, "dim_city").count() > 0

@@ -195,6 +195,12 @@ def execute_airflow_task(task_id: str) -> None:
         forecast_records = src.forecast_rows(
             ids, base_url=os.environ.get("WBL_FORECAST_API", "")
         )
+    from pyspark.sql import SparkSession
+
+    # build_session is getOrCreate: only stop a session THIS call created —
+    # stopping a pre-existing one would kill the hosting process's Spark
+    # (e.g. an Airflow worker running several PythonOperators in-process)
+    owned = SparkSession.getActiveSession() is None
     spark = build_session(app_name=f"wbl_{task_id}")
     try:
         execute_stage(
@@ -207,4 +213,5 @@ def execute_airflow_task(task_id: str) -> None:
             keep_dates=keep.split(",") if keep else None,
         )
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
