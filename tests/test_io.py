@@ -592,3 +592,30 @@ def test_events_loader_handles_all_three_ts_encodings(spark, tmp_path):
         got[name] = df.select("ts").first()[0]
     assert got["ns_long"] == got["us_naive"] == got["us_utc"]
     assert str(got["us_naive"]) == "2024-01-01 10:30:00.123456"
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path, sf_dir):
+    """Shard assignment must be content-addressed (identical across two
+    writes), every input row lands in exactly one shard directory, and
+    shards are roughly size-balanced."""
+    import hashlib
+
+    from weather_bigquery_lakehouse_spark.io.readers import load_testdata
+    from weather_bigquery_lakehouse_spark.io.writers import write_training_shards
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    n = docs.count()
+    for run in ("a", "b"):
+        write_training_shards(docs, str(tmp_path / run), n_shards=8)
+    got_a = spark.read.parquet(str(tmp_path / "a"))
+    got_b = spark.read.parquet(str(tmp_path / "b"))
+    rows_a = sorted((r.doc_id, r.shard) for r in got_a.select("doc_id", "shard").collect())
+    rows_b = sorted((r.doc_id, r.shard) for r in got_b.select("doc_id", "shard").collect())
+    assert rows_a == rows_b and len(rows_a) == n  # reproducible, lossless
+    # assignment matches the documented md5 contract
+    for doc_id, shard in rows_a[:20]:
+        expect = int(hashlib.md5(f"shard42|{doc_id}".encode()).hexdigest()[:15], 16) % 8
+        assert shard == expect, (doc_id, shard, expect)
+    sizes = [r["count"] for r in got_a.groupBy("shard").count().collect()]
+    assert len(sizes) == 8 and min(sizes) > 0
+    assert max(sizes) < 2.5 * (n / 8)  # no pathological skew

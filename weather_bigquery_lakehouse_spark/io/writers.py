@@ -55,3 +55,43 @@ def write_bucketed_table(
     if sort:
         writer = writer.sortBy(key)
     writer.mode("overwrite").saveAsTable(name)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard42",
+    fmt: str = "parquet",
+) -> None:
+    """The training-corpus landing step: write ``n_shards`` deterministic,
+    size-balanced shards (``shard=K`` partition directories) whose
+    assignment and within-shard order are content-addressed — the same doc
+    lands in the same shard at the same position in every engine, run,
+    retry, and cluster layout, so a training job can resume mid-epoch and
+    two sites preparing the same corpus produce byte-comparable shards.
+
+    Shard = md5(seed|id) mod n_shards (uniform, decorrelated from any
+    other md5 use by the seed); rows are repartitioned BY the shard column
+    so each output directory is written by the tasks that own it (no
+    small-file spray), and sorted within partitions by the md5 key — the
+    deterministic shuffle order training consumes, with no global sort.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    out = (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("__key")
+        .drop("__key")
+    )
+    writer = out.write.format(fmt).mode("overwrite").partitionBy("shard")
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
