@@ -1025,6 +1025,42 @@ def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_TRAIN_SHARDS = 8
+
+_SQL_TRAIN_SHARDS = f"""
+SELECT doc_id, lang, source,
+       CAST({_DUCK_BUCKET.format(key="'shard42|' || CAST(doc_id AS VARCHAR)",
+                                 mod=_N_TRAIN_SHARDS)} AS INT) AS shard
+FROM documents
+"""
+
+
+@_register(
+    "training_shards_manifest",
+    _SQL_TRAIN_SHARDS,
+    "the corpus landing sink driven through the gate: write_training_shards "
+    "writes md5-content-addressed shard directories (repartitioned by "
+    "shard, sorted within partitions by the md5 key), the query reads the "
+    "zone back — the oracle recomputes every row's shard assignment, so a "
+    "drifting hash, a lost row, or a misrouted partition all hash-fail",
+    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
+)
+def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..io.writers import write_training_shards
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    out = os.path.join(_gold_workdir(sf_dir), "train_shards")
+    write_training_shards(
+        docs.select("doc_id", "lang", "source"), out, n_shards=_N_TRAIN_SHARDS
+    )
+    shards = spark.read.parquet(out)
+    return shards.select(
+        "doc_id", "lang", "source", F.col("shard").cast("int").alias("shard")
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-frequency fluency score (cheap LM-perplexity proxy)
 # --------------------------------------------------------------------------
