@@ -619,3 +619,18 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path, sf_di
     sizes = [r["count"] for r in got_a.groupBy("shard").count().collect()]
     assert len(sizes) == 8 and min(sizes) > 0
     assert max(sizes) < 2.5 * (n / 8)  # no pathological skew
+    # within-shard file order IS the md5 order (the resume contract):
+    shard0 = spark.read.parquet(str(tmp_path / "a" / "shard=0"))
+    in_file_order = [r.doc_id for r in shard0.select("doc_id").collect()]
+    expect_order = sorted(
+        in_file_order,
+        key=lambda d: hashlib.md5(f"shard42|{d}".encode()).hexdigest(),
+    )
+    assert in_file_order == expect_order
+    # reserved-column collision surfaces instead of silently clobbering
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shard"):
+        write_training_shards(
+            docs.withColumn("shard", docs.doc_id), str(tmp_path / "c"), 4
+        )

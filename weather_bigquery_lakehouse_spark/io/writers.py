@@ -72,26 +72,43 @@ def write_training_shards(
     retry, and cluster layout, so a training job can resume mid-epoch and
     two sites preparing the same corpus produce byte-comparable shards.
 
-    Shard = md5(seed|id) mod n_shards (uniform, decorrelated from any
-    other md5 use by the seed); rows are repartitioned BY the shard column
-    so each output directory is written by the tasks that own it (no
-    small-file spray), and sorted within partitions by the md5 key — the
-    deterministic shuffle order training consumes, with no global sort.
+    Shard = md5(seed|id) mod n_shards (the engine's shared ``md5_bucket``
+    primitive — one definition, so the sink can't drift from the oracles);
+    rows are repartitioned BY the shard column so each output directory is
+    written by the tasks that own it (no small-file spray), and sorted
+    within partitions by (shard, md5 key) — the 'shard' prefix satisfies
+    the partitioned writer's required ordering, so Spark inserts NO extra
+    sort and the within-shard md5 order physically survives to the files.
+    The write is pinned to STATIC overwrite: under the session's dynamic
+    partition-overwrite default, a re-land after shards emptied (or with
+    fewer shards) would keep stale directories — a corpus landing must
+    replace the whole zone.
     """
     from pyspark.sql import functions as F
 
-    key = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
-    shard = (
-        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % n_shards
-    ).cast("int")
+    from ..operators.curation import md5_bucket, md5_key
+
+    clash = {"shard", "__key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            "before landing (the shard layout owns these names)"
+        )
     out = (
-        df.withColumn("__key", key)
-        .withColumn("shard", shard)
+        df.withColumn("__key", md5_key(id_col, salt=seed + "|"))
+        .withColumn(
+            "shard", md5_bucket(id_col, salt=seed + "|", mod=n_shards).cast("int")
+        )
         .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("__key")
+        .sortWithinPartitions("shard", "__key")
         .drop("__key")
     )
-    writer = out.write.format(fmt).mode("overwrite").partitionBy("shard")
+    writer = (
+        out.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+    )
     if fmt == "csv":
         writer = writer.option("header", True)
     writer.save(path)

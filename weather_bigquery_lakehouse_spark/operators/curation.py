@@ -34,6 +34,16 @@ DEFAULT_STRATUM_PCT = 10
 N_SHUFFLE_SHARDS = 256
 
 
+def md5_key(col: Column | str, salt: str = "") -> Column:
+    """The engine's canonical content-addressed key: ``md5(salt || id)``
+    as a hex string. Single definition shared by bucketing, shuffle
+    ordering, and the shard sink so the arithmetic can never drift
+    between consumers (every oracle mirrors exactly this expression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string")) if salt else c.cast("string")
+    return F.md5(keyed)
+
+
 def md5_bucket(col: Column | str, salt: str = "", mod: int = 100) -> Column:
     """Deterministic uniform bucket in ``[0, mod)`` from an id column.
 
@@ -42,9 +52,9 @@ def md5_bucket(col: Column | str, salt: str = "", mod: int = 100) -> Column:
     partition layout. ``salt`` decorrelates independent uses (a doc's
     train/val split must not predict its sampling fate).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    keyed = F.concat(F.lit(salt), c.cast("string")) if salt else c.cast("string")
-    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint") % mod
+    return (
+        F.conv(F.substring(md5_key(col, salt), 1, 15), 16, 10).cast("bigint") % mod
+    )
 
 
 # --------------------------------------------------------------------------

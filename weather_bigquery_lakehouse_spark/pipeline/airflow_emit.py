@@ -199,8 +199,14 @@ def execute_airflow_task(task_id: str) -> None:
 
     # build_session is getOrCreate: only stop a session THIS call created —
     # stopping a pre-existing one would kill the hosting process's Spark
-    # (e.g. an Airflow worker running several PythonOperators in-process)
-    owned = SparkSession.getActiveSession() is None
+    # (e.g. an Airflow worker running several PythonOperators in-process).
+    # getActiveSession() alone is THREAD-local; getOrCreate also reuses the
+    # process-global default session created by another thread, so both
+    # must be absent before this call can claim ownership.
+    owned = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = build_session(app_name=f"wbl_{task_id}")
     try:
         execute_stage(
@@ -208,6 +214,10 @@ def execute_airflow_task(task_id: str) -> None:
             task_id,
             zone_dir,
             warehouse_dir,
+            # logical/run date from the scheduler (Airflow templates it into
+            # the env); without it a post-midnight retry would stamp the
+            # next calendar day and split the run across date partitions
+            run_date=os.environ.get("WBL_RUN_DATE") or None,
             city_records=city_records,
             forecast_records=forecast_records,
             keep_dates=keep.split(",") if keep else None,
