@@ -410,7 +410,7 @@ def shuffle_order(
     broadcast back). No single-partition global window anywhere, so the
     plan survives a 100 TB corpus.
     """
-    key = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    key = md5_key(id_col, salt=seed + "|")
     shard = F.conv(F.substring(F.col("__key"), 1, 2), 16, 10).cast("int")
     keyed = df.select(F.col(id_col), key.alias("__key")).select(
         F.col(id_col), F.col("__key"), shard.alias("shard")
