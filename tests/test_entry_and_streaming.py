@@ -403,3 +403,34 @@ def test_streaming_chunk_index_replaces_shrunken_docs_across_runs(spark, tmp_pat
     assert set(rows2) == {(1, 0), (2, 0), (3, 0)}  # (1,1) orphan gone
     assert rows2[(1, 0)] == "x y z"  # replaced content, not the old chunk
     assert rows2[(2, 0)] == "a b c"  # untouched doc intact
+
+
+def test_as_stream_dir_recreates_stale_symlink(tmp_path):
+    """ADVICE fix: the deterministic wrapper dir must never trust a
+    pre-existing entry — a stale or foreign symlink (or a plain file) at
+    the predictable path would silently become the stream source."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import _as_stream_dir
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"payload")
+    other = tmp_path / "other.parquet"
+    other.write_bytes(b"foreign")
+
+    zone = _as_stream_dir(str(src))
+    link = os.path.join(zone, "events.parquet")
+    assert os.readlink(link) == str(src.resolve())
+
+    # tamper: point the link somewhere else → next call must repair it
+    os.remove(link)
+    os.symlink(str(other), link)
+    assert _as_stream_dir(str(src)) == zone
+    assert os.readlink(link) == str(src.resolve())
+
+    # tamper: replace with a plain file → also repaired
+    os.remove(link)
+    with open(link, "w") as f:
+        f.write("squatter")
+    _as_stream_dir(str(src))
+    assert os.path.islink(link) and os.readlink(link) == str(src.resolve())

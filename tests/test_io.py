@@ -594,6 +594,43 @@ def test_events_loader_handles_all_three_ts_encodings(spark, tmp_path):
     assert str(got["us_naive"]) == "2024-01-01 10:30:00.123456"
 
 
+def test_events_schema_rejects_mixed_encoding_zone(spark, tmp_path):
+    """ADVICE fix: a zone mixing fixture generations (one file INT64-nanos,
+    one TIMESTAMP(us)) must RAISE, not silently pin one encoding and
+    misread the other file's timestamps."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_bigquery_lakehouse_spark.io.readers import events_schema
+
+    base = pd.Timestamp("2024-01-01 10:30:00.123456")
+    rows = {
+        "event_id": [1], "user_id": [7], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }
+    zone = tmp_path / "mixed"
+    zone.mkdir()
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base.value], pa.int64())}),
+        str(zone / "gen1.parquet"),
+    )
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base], pa.timestamp("us"))}),
+        str(zone / "gen2.parquet"),
+    )
+    with pytest.raises(ValueError, match="mixes ts encodings"):
+        events_schema(spark, str(zone))
+    # homogeneous zones still resolve
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base.value], pa.int64())}),
+        str(solo / "gen1.parquet"),
+    )
+    assert "ts" in events_schema(spark, str(solo)).fieldNames()
+
+
 def test_write_training_shards_deterministic_and_balanced(spark, tmp_path, sf_dir):
     """Shard assignment must be content-addressed (identical across two
     writes), every input row lands in exactly one shard directory, and

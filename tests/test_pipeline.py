@@ -314,6 +314,13 @@ def test_run_pipeline_rejects_unexecutable_dag(spark, tmp_path):
     partial_dag = DagSpec("d", "@daily", False, 1, 5, (TaskSpec("gold_load"),))
     with pytest.raises(ValueError, match="silver_transform"):
         run_pipeline(spark, dag=partial_dag, **kwargs)
+    # and one level further up the chain: silver reads both bronze zones,
+    # so a silver-only dag dies mid-run without this fail-fast check
+    silver_only = DagSpec(
+        "d", "@daily", False, 1, 5, (TaskSpec("silver_transform"),)
+    )
+    with pytest.raises(ValueError, match="bronze"):
+        run_pipeline(spark, dag=silver_only, **kwargs)
 
 
 def test_execute_stage_per_task_equals_in_process_pipeline(spark, tmp_path):
@@ -376,6 +383,11 @@ def test_rendered_airflow_dag_matches_reference_shape(tmp_path):
                 "silver_transform", "gold_load"]:
         assert f'task_id="{tid}"' in text
         assert f'partial(execute_airflow_task, "{tid}")' in text
+        # the scheduler's LOGICAL date must reach execute_stage: op_kwargs
+        # is a template field, so {{ ds }} resolves per run — without it
+        # every run falls back to date.today() (wrong for @daily runs and
+        # post-midnight retries)
+        assert 'op_kwargs={"run_date": "{{ ds }}"}' in text
     # the reference's dependency chain, extended with the bronze fan-in
     assert "bronze_ingest_cities >> silver_transform" in text
     assert "bronze_ingest_weather >> silver_transform" in text
@@ -449,9 +461,17 @@ def test_execute_airflow_task_env_glue_runs_silver_and_gold(spark, tmp_path, mon
 
     monkeypatch.setenv("WBL_ZONE_DIR", zone)
     monkeypatch.setenv("WBL_WAREHOUSE_DIR", wh)
-    execute_airflow_task("silver_transform")
-    execute_airflow_task("gold_load")
+    # run_date arrives via op_kwargs ({{ ds }}) in the emitted DAG — the
+    # entrypoint must thread it through to execute_stage, not today()
+    execute_airflow_task("silver_transform", run_date="2024-03-25")
+    execute_airflow_task("gold_load", run_date="2024-03-25")
     assert spark.sparkContext._jsc is not None  # shared session survived
     cat = GoldCatalog(wh)
-    assert cat.read_table(spark, "fact_weather").count() > 0
+    fact = cat.read_table(spark, "fact_weather")
+    assert fact.count() > 0
+    stamped = {
+        str(r["_modeling_date"])
+        for r in fact.select("_modeling_date").distinct().collect()
+    }
+    assert stamped == {"2024-03-25"}
     assert cat.read_table(spark, "dim_city").count() > 0

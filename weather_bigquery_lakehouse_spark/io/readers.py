@@ -24,8 +24,26 @@ def events_schema(spark: SparkSession, path: str) -> T.StructType:
     encoding (fixtures have shipped both TIMESTAMP(µs) and raw INT64
     nanoseconds). The peek is a parquet FOOTER read at analysis time —
     no data scan — and streaming readers need the schema up front, so
-    this is the one sanctioned schema-on-read probe in the engine."""
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    this is the one sanctioned schema-on-read probe in the engine.
+
+    A zone must be encoding-HOMOGENEOUS: one pin is applied to every file,
+    so a zone mixing fixture generations would silently misread one
+    encoding's timestamps. ``mergeSchema`` makes the probe read EVERY
+    footer (parallel, still metadata-only) — mixed INT64/TIMESTAMP files
+    fail the merge, which we surface as an explicit error instead of a
+    wrong-answer read."""
+    try:
+        merged = spark.read.option("mergeSchema", "true").parquet(path).schema
+    except Exception as e:  # Spark raises on unmergeable column types
+        if "merge" in str(e).lower() or "incompatible" in str(e).lower():
+            raise ValueError(
+                f"events zone {path!r} mixes ts encodings across files "
+                "(INT64-nanos vs TIMESTAMP) — a single schema pin would "
+                "silently misread one of them; re-land the zone with one "
+                "encoding"
+            ) from e
+        raise
+    ts_type = merged["ts"].dataType
     return EVENTS_RAW_NS if isinstance(ts_type, T.LongType) else EVENTS
 
 

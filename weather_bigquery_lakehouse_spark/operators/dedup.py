@@ -343,10 +343,14 @@ def connected_components(
     size, not component diameter) converge well inside ``max_iterations``.
     localCheckpoint truncates lineage each iteration (an unbounded
     iterative lineage chain re-executes every prior join on failure and
-    overwhelms the planner). Convergence is checked with a LIMIT-1
-    existence probe per iteration — a driver action, but a constant-size
-    one. All joins key on node ids — shuffle-partitioned, no all-pairs,
-    no driver-side graph.
+    overwhelms the planner). Convergence detection is FOLDED into the
+    propagation: each row carries a ``label != old_label`` flag computed
+    in the same plan that materializes the checkpoint, and the driver
+    reads ``max(flag)`` with a scan-only aggregate over the checkpointed
+    partitions — no separate probe join (the pre-round-6 LIMIT-1 probe
+    joined new labels against old ones, a full extra shuffle per
+    iteration). All joins key on node ids — shuffle-partitioned, no
+    all-pairs, no driver-side graph.
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iterations`` — silently returning non-converged labels would
@@ -367,46 +371,50 @@ def connected_components(
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "comp"
         )
-        # checkpoint BEFORE the doubling self-join: the join below reads
-        # `propagated` twice, and over a deep derived lineage that trips
-        # Catalyst's union-constraint rewrite (key-not-found on the reused
-        # attribute); over a materialized leaf it is a plain self-join
-        propagated = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        # min over {own label} ∪ {incoming labels} via a keyed join +
+        # least() so the OLD label rides along for the change flag
+        # (least() skips the NULL mcomp of message-less nodes)
+        min_msg = msgs.groupBy("node").agg(F.min("comp").alias("__mcomp"))
+        cand = labels.join(min_msg, "node", "left").select(
+            "node",
+            F.col("comp").alias("__old"),
+            F.least("comp", "__mcomp").alias("comp"),
         )
         if it < 2:
             # near-dup components are usually pairs/small cliques that
             # converge in ≤2 plain rounds — skip the doubling join's extra
             # shuffle+checkpoint until a chain proves deeper than that
-            new_labels = propagated
+            stepped = cand
         else:
-            # pointer doubling: comp ← label(comp). Every comp value is
+            # checkpoint BEFORE the doubling self-join: the join below
+            # reads `cand` twice, and over a deep derived lineage the
+            # attribute reuse trips Catalyst rewrites; over a
+            # materialized leaf it is a plain self-join.
+            # Pointer doubling: comp ← label(comp). Every comp value is
             # itself a node (labels cover all nodes and min-propagation
             # only moves existing ids), so the self-join is total;
             # coalesce is belt-and-braces for the root, whose label is
             # itself. Halves remaining chain depth → O(log diameter).
-            new_labels = (
-                propagated.join(
-                    propagated.select(
-                        F.col("node").alias("comp"), F.col("comp").alias("__comp2")
-                    ),
-                    "comp",
-                    "left",
-                )
-                .select("node", F.coalesce("__comp2", "comp").alias("comp"))
-                .localCheckpoint(eager=True)
+            cand = cand.localCheckpoint(eager=True)
+            stepped = cand.join(
+                cand.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("__comp2")
+                ),
+                "comp",
+                "left",
+            ).select(
+                "node", "__old", F.coalesce("__comp2", "comp").alias("comp")
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        new_labels = stepped.select(
+            "node",
+            "comp",
+            (F.col("comp") != F.col("__old")).cast("int").alias("__chg"),
+        ).localCheckpoint(eager=True)
+        # scan-only aggregate over the partitions the checkpoint just
+        # materialized — the only per-iteration driver action
+        row = new_labels.agg(F.max("__chg").alias("c")).first()
+        changed = int(row["c"] or 0)
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:

@@ -66,10 +66,16 @@ def {fn_name}():
 
 
 def _task_lines(task_ids: list[str]) -> list[str]:
+    # op_kwargs is an Airflow template field, so "{{ ds }}" resolves to the
+    # run's LOGICAL date at execution time and reaches execute_airflow_task
+    # directly — without it every scheduled run would fall back to
+    # date.today(), which is wrong for @daily runs (they execute the day
+    # AFTER their data interval) and for post-midnight retries.
     return [
         f'    {tid} = PythonOperator(\n'
         f'        task_id="{tid}",\n'
         f'        python_callable=partial(execute_airflow_task, "{tid}"),\n'
+        f'        op_kwargs={{"run_date": "{{{{ ds }}}}"}},\n'
         f'    )'
         for tid in task_ids
     ]
@@ -158,13 +164,16 @@ def write_airflow_dag(dag: DagSpec, path: str) -> str:
     return text
 
 
-def execute_airflow_task(task_id: str) -> None:
+def execute_airflow_task(task_id: str, run_date: str | None = None) -> None:
     """Process-level entrypoint the emitted DAG binds every task to.
 
     Each Airflow worker invocation builds its own session and runs one
     stage via :func:`runner.execute_stage`; deployment config comes from
     the environment (``WBL_ZONE_DIR``, ``WBL_WAREHOUSE_DIR``,
-    ``WBL_RETENTION_DATES`` as a comma list, optional). Bronze payloads
+    ``WBL_RETENTION_DATES`` as a comma list, optional). ``run_date`` is
+    the scheduler's logical date — the emitted DAG templates ``{{ ds }}``
+    into it via ``op_kwargs``; ``WBL_RUN_DATE`` remains as the env
+    override for non-Airflow invocations. Bronze payloads
     come from the HTTP sources (reference data_ingestion.py semantics —
     failures drop with accounting, they don't abort the landing)."""
     import os
@@ -214,10 +223,11 @@ def execute_airflow_task(task_id: str) -> None:
             task_id,
             zone_dir,
             warehouse_dir,
-            # logical/run date from the scheduler (Airflow templates it into
-            # the env); without it a post-midnight retry would stamp the
-            # next calendar day and split the run across date partitions
-            run_date=os.environ.get("WBL_RUN_DATE") or None,
+            # logical/run date: op_kwargs-templated "{{ ds }}" when run
+            # under the emitted DAG, WBL_RUN_DATE otherwise; without it a
+            # post-midnight retry would stamp the next calendar day and
+            # split the run across date partitions
+            run_date=run_date or os.environ.get("WBL_RUN_DATE") or None,
             city_records=city_records,
             forecast_records=forecast_records,
             keep_dates=keep.split(",") if keep else None,

@@ -150,13 +150,22 @@ def run_pipeline(
             f"dag {dag.dag_id}: daily task(s) {sorted(unknown)} have no "
             f"executable stage; known stages: {sorted(stages)}"
         )
-    # one-directional requirement: gold consumes silver's ctx outputs, so a
-    # dag running gold must also run silver; bronze-only partial dags (a
-    # re-landing backfill) are fine
+    # one-directional requirements down the ctx chain: gold consumes
+    # silver's ctx outputs and silver consumes both bronze landings, so a
+    # dag running a downstream stage must also run its producers — a
+    # silver-only dag would otherwise die mid-run on a missing bronze zone
+    # read, the same KeyError-class failure this check exists to prevent.
+    # Bronze-only partial dags (a re-landing backfill) are fine.
     if "gold_load" in daily_ids and "silver_transform" not in daily_ids:
         raise ValueError(
             f"dag {dag.dag_id}: gold_load requires silver_transform — gold "
             "consumes the silver stage's outputs"
+        )
+    _bronze_ids = {"bronze_ingest_cities", "bronze_ingest_weather"}
+    if "silver_transform" in daily_ids and not _bronze_ids <= daily_ids:
+        raise ValueError(
+            f"dag {dag.dag_id}: silver_transform requires "
+            f"{sorted(_bronze_ids)} — silver reads both bronze landings"
         )
     cadences = {t.task_id: t.cadence for t in dag.tasks}
     executed = []

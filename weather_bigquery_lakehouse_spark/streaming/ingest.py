@@ -50,12 +50,26 @@ def _as_stream_dir(path: str) -> str:
     import hashlib
 
     if os.path.isfile(path):
-        key = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-        zone = os.path.join(tempfile.gettempdir(), f"wbl_stream_src_{key}")
+        target = os.path.abspath(path)
+        key = hashlib.md5(target.encode()).hexdigest()[:12]
+        # scope the wrapper under a per-uid dir, not the world-shared tmp
+        # root: a predictable shared path could be pre-claimed by another
+        # local user (symlink squatting)
+        zone = os.path.join(
+            tempfile.gettempdir(), f"wbl_{os.getuid()}", f"stream_src_{key}"
+        )
         os.makedirs(zone, exist_ok=True)
         link = os.path.join(zone, os.path.basename(path))
-        if not os.path.lexists(link):
-            os.symlink(path, link)
+        # never trust a pre-existing entry blindly: a stale or foreign
+        # symlink (or a plain file) at the deterministic path would be
+        # silently read as the stream source — verify it points at OUR
+        # target and recreate otherwise
+        if os.path.lexists(link):
+            if not (os.path.islink(link) and os.readlink(link) == target):
+                os.remove(link)
+                os.symlink(target, link)
+        else:
+            os.symlink(target, link)
         return zone
     return path
 
