@@ -123,6 +123,10 @@ EXTENDED = [
     "corpus_curation_pipeline",
     "streaming_chunk_index",
     "quantiles_by_event_type",
+    # round-6 rotation additions
+    "training_shards_manifest",
+    "multimodal_frame_manifest",
+    "fact_rerun_idempotent",
 ]
 
 

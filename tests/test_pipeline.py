@@ -89,6 +89,37 @@ def test_fact_append_is_idempotent(spark, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_silver_run_persists_quality_table(spark, tmp_path):
+    """Every silver run must land per-stage cleaning accounting under
+    silver/_quality/<entity> — the persisted form of the per-step counts
+    the reference prints (data_cleaning.py:8-47): rows in/out, nulls per
+    column, untrimmed strings, duplicate rows; append keeps run history."""
+    kwargs = dict(
+        zone_dir=str(tmp_path / "zones"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        city_records=fixture_city_rows(10),
+        forecast_records=fixture_forecast_rows(10),
+    )
+    run_pipeline(spark, run_date="2024-03-25", **kwargs)
+    for entity in ("cptec_weather", "ibge_cities", "cptec_cities"):
+        q = spark.read.parquet(str(tmp_path / "zones" / "silver" / "_quality" / entity))
+        rows = q.collect()
+        assert len(rows) == 1, entity
+        r = rows[0]
+        assert r["entity"] == entity
+        assert str(r["_processing_date"]) == "2024-03-25"
+        assert r["rows_in"] >= r["rows_out"] > 0
+        assert r["n_duplicate_rows"] >= 0
+        # at least one per-column null counter and one trim counter exist
+        assert any(c.startswith("n_null_") for c in q.columns)
+        assert any(c.startswith("n_untrimmed_") for c in q.columns)
+    # a second run APPENDS (history preserved, one row per run)
+    run_pipeline(spark, run_date="2024-03-26", **kwargs)
+    q = spark.read.parquet(str(tmp_path / "zones" / "silver" / "_quality" / "cptec_weather"))
+    dates = sorted(str(r["_processing_date"]) for r in q.select("_processing_date").collect())
+    assert dates == ["2024-03-25", "2024-03-26"]
+
+
 def test_second_day_preserves_first_days_partitions(spark, tmp_path):
     """Day-2 ingestion must NOT delete day-1 bronze/silver partitions.
     Overwrite+partitionBy under static partition-overwrite drops every

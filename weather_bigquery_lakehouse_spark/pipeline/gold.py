@@ -96,6 +96,39 @@ def build_fact_weather(
     )
 
 
+def idempotent_fact_append(
+    spark: SparkSession,
+    catalog: GoldCatalog,
+    fact: DataFrame,
+    table: str,
+    key_col: str = "id_fact",
+    date_col: str = "_ingestion_date",
+) -> None:
+    """Append ``fact`` so a RERUN of the same increment cannot double-load
+    — the engine's fix for the reference's daily append-with-no-dedup bug
+    (silver_to_gold.py appends blindly; a retried DAG run loads twice).
+
+    Idempotency anti-join, scoped for scale: only the history partitions
+    whose ``date_col`` appears in this increment can collide, so the
+    existing-keys read is pruned to those (tiny distinct date list → the
+    scan skips everything else). The history side is never broadcast — it
+    grows without bound; AQE picks the join strategy."""
+    if catalog.table_exists(table):
+        inc_dates = [
+            str(r[date_col])
+            for r in fact.select(date_col).distinct().collect()
+        ]
+        date_list = ", ".join(f"'{d}'" for d in inc_dates)
+        existing = catalog.read_table(
+            spark,
+            table,
+            columns=[key_col],
+            where=f"{date_col} IN ({date_list})" if inc_dates else "false",
+        )
+        fact = fact.join(existing, key_col, "left_anti")
+    catalog.write_table(fact, table, mode="append", partition_by=[date_col])
+
+
 def load_gold(
     spark: SparkSession,
     catalog: GoldCatalog,
@@ -122,25 +155,7 @@ def load_gold(
     ]:
         catalog.write_table(df, name, mode="truncate")
 
-    if catalog.table_exists("fact_weather"):
-        # Idempotency anti-join, scoped for scale: only the history
-        # partitions whose _ingestion_date appears in this increment can
-        # collide, so prune the read to those (tiny distinct list → the
-        # scan skips everything else). Never broadcast the history side —
-        # it grows without bound; AQE picks the join strategy.
-        inc_dates = [
-            str(r["_ingestion_date"])
-            for r in fact.select("_ingestion_date").distinct().collect()
-        ]
-        date_list = ", ".join(f"'{d}'" for d in inc_dates)
-        existing = catalog.read_table(
-            spark,
-            "fact_weather",
-            columns=["id_fact"],
-            where=f"_ingestion_date IN ({date_list})" if inc_dates else "false",
-        )
-        fact = fact.join(existing, "id_fact", "left_anti")
-    catalog.write_table(fact, "fact_weather", mode="append", partition_by=["_ingestion_date"])
+    idempotent_fact_append(spark, catalog, fact, "fact_weather")
 
     return {
         "dim_city": dim_city,

@@ -17,12 +17,51 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dedupe_rows, drop_null_rows, trim_strings, normalize_names
+from ..functions.cleaning import (
+    dedupe_rows,
+    drop_null_rows,
+    normalize_names,
+    removal_accounting,
+    trim_strings,
+)
 from ..functions.dates import parse_date_multi
 from ..functions.flatten import flatten_structs
 from ..functions.profiling import consistency_violations
 from ..io.writers import write_table
 from .bronze import CITY_PAYLOAD, FORECAST_PAYLOAD, read_bronze
+
+
+def write_quality_report(
+    pre: DataFrame,
+    post: DataFrame,
+    zone_dir: str,
+    entity: str,
+    processing_date: str,
+) -> None:
+    """Persist the per-stage cleaning accounting as a first-class silver
+    output: one row per (entity, run) under ``silver/_quality/<entity>``
+    with rows in/out and every count the reference prints per cleaning
+    step (nulls per column, untrimmed strings, duplicate rows — reference
+    data_cleaning.py:8-53). The accounting and the rows-out count are two
+    aggregates composed into ONE write job (cross-join of two 1-row
+    frames), not a loop of eager ``count()`` actions; append mode keeps
+    the run history queryable."""
+    report = (
+        removal_accounting(pre)
+        .withColumnRenamed("n_rows", "rows_in")
+        .crossJoin(post.agg(F.count(F.lit(1)).alias("rows_out")))
+    )
+    metric_cols = [c for c in report.columns if c not in ("rows_in", "rows_out")]
+    out = report.select(
+        F.lit(entity).alias("entity"),
+        F.lit(processing_date).cast("date").alias("_processing_date"),
+        "rows_in",
+        "rows_out",
+        *metric_cols,
+    )
+    write_table(
+        out, os.path.join(zone_dir, "silver", "_quality", entity), mode="append"
+    )
 
 
 def silver_weather(
@@ -65,6 +104,7 @@ def silver_weather(
         os.path.join(zone_dir, "silver", "cptec_weather"),
         partition_by=["_ingestion_date"],
     )
+    write_quality_report(exploded, cleaned, zone_dir, "cptec_weather", processing_date)
     return cleaned
 
 
@@ -99,6 +139,7 @@ def silver_cities(
         os.path.join(zone_dir, "silver", "ibge_cities"),
         partition_by=["_ingestion_date"],
     )
+    write_quality_report(projected, cleaned, zone_dir, "ibge_cities", processing_date)
     return cleaned, violations
 
 
@@ -119,4 +160,5 @@ def silver_cptec_cities(
         os.path.join(zone_dir, "silver", "cptec_cities"),
         partition_by=["_ingestion_date"],
     )
+    write_quality_report(cities, cleaned, zone_dir, "cptec_cities", processing_date)
     return cleaned

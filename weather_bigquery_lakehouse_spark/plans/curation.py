@@ -321,6 +321,7 @@ FROM s
     "preserving key-prefix shards, per-shard window ranks + broadcast "
     "shard-size offsets — exact global ranks with no single-partition "
     "window (the oracle's flat ROW_NUMBER is the semantics, not the plan)",
+    retired=True,  # driver window: subsumed by training_shards_manifest (same md5(seed|id) ordering/sharding primitive — single shared key definition; the manifest additionally round-trips the sink)
 )
 def train_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -523,7 +524,6 @@ _SQL_GROUP_QUANTILES = "SELECT event_type, " + ", ".join(
     "partitions) → per-(partition, group) offset stitching → broadcast "
     "rank probes — Spark's own exact percentile would buffer each group "
     "in one task (the OOM when one group dominates a 100 TB table)",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.profiling import exact_group_quantiles
@@ -624,6 +624,7 @@ FROM m2
     "Gopher/C4-style corpus filter bank: token-count + mean-word-length "
     "bounds, duplicate-2-gram fraction, top-unigram dominance — per-row "
     "array math over one shared token array, streams at scan speed",
+    retired=True,  # driver window: subsumed by corpus_curation_pipeline (calls gopher_quality_flags verbatim as its first stage; its oracle embeds the gopher SQL)
 )
 def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -768,6 +769,7 @@ _SQL_CHUNKS = _chunks_sql(_CHUNK_TOKENS, _CHUNK_STRIDE)
     f"with stride {_CHUNK_STRIDE}, final start clamped so every chunk is "
     "full-size — per-row sequence→slice→posexplode, no shuffle, stable "
     "(doc_id, chunk_idx) identity for incremental index maintenance",
+    retired=True,  # driver window: subsumed by chunk_index_refresh (chunks BOTH its base and changed sides through chunk_documents; oracle is the full-rebuild chunk SQL)
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as tx
@@ -906,7 +908,6 @@ SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM refreshed
     "chunks of a shrunken doc disappear because the unit of replacement is "
     "the key group) — oracle = full rebuild over the post-change corpus, "
     "so incremental ≡ from-scratch is the checked contract",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as tx
@@ -957,7 +958,6 @@ FROM canon
     "operator code paths (gopher_quality_flags, exact_dedup_groups, "
     "train_val_split_expr) load-bearing in ONE plan: per-row quality math "
     "at scan speed, one digest-keyed aggregate, then a pure map",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
@@ -1007,7 +1007,6 @@ SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunked
     "swap as the streaming gold MERGE): one run over the full zone must "
     "equal batch-chunking the corpus — the oracle; cross-run re-land/"
     "shrink semantics are pytest-verified",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1043,7 +1042,6 @@ FROM documents
     "shard, sorted within partitions by the md5 key), the query reads the "
     "zone back — the oracle recomputes every row's shard assignment, so a "
     "drifting hash, a lost row, or a misrouted partition all hash-fail",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1098,7 +1096,6 @@ FROM per CROSS JOIN nd
     "fraction — exact BIGINT numerators (order-independent), one division "
     "at the end; the df table joins back onto the token stream by token "
     "(data-scale shuffle — a 100 TB vocabulary is not broadcastable)",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def quality_token_df_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1134,7 +1131,6 @@ WHERE hour_start + INTERVAL 1 HOUR <= wm.w
     "windows whose end the final watermark (max ts − delay) passed — "
     "which is this query's oracle; cross-run restart/late-drop semantics "
     "are pytest-verified",
-    retired=True,  # STAGED (not subsumed): enters the driver window when a slot frees
 )
 def streaming_watermarked_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

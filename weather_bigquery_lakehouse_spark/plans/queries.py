@@ -234,6 +234,7 @@ FROM fk
     _SQL_FACT_ORDERS,
     "J2+F6/F7: fact with RECOMPUTED sha2 FKs (not join-propagated) + "
     "composite id_fact (reference fact_weather, silver_to_gold.py:144-195)",
+    retired=True,  # driver window: subsumed by fact_rerun_idempotent (calls this function verbatim; same oracle SQL)
 )
 def fact_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _views(spark, sf_dir, ["orders", "customer"])
@@ -249,6 +250,44 @@ def fact_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_key_name="id_fact",
         fact_key_cols=[fk_exprs["id_customer"], fk_exprs["id_order_date"]],
         measures=[F.col("o_orderkey"), F.col("o_totalprice"), F.col("c_mktsegment")],
+    )
+
+
+@_register(
+    "fact_rerun_idempotent",
+    _SQL_FACT_ORDERS,
+    "S13-class rerun safety driven through the gate: the fact build "
+    "(fact_orders_keys, called verbatim) is landed into a catalog TWICE "
+    "for the same ingestion date via the idempotent anti-join append "
+    "(pipeline/gold.py idempotent_fact_append — the engine's fix for the "
+    "reference's blind daily append, silver_to_gold.py:188-195); the "
+    "read-back must equal a SINGLE load, so a double-load, a lost "
+    "partition, or a drifting surrogate key all hash-fail the oracle",
+)
+def fact_rerun_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..io.catalog import GoldCatalog
+    from ..pipeline.gold import idempotent_fact_append
+    from .curation import _gold_workdir  # lazy: curation imports from here
+
+    fact = fact_orders_keys(spark, sf_dir).withColumn(
+        "_ingestion_date", F.lit("1998-08-02").cast("date")
+    )
+    root = os.path.join(_gold_workdir(sf_dir), "fact_rerun")
+    catalog = GoldCatalog(root, spark=spark)
+    # land the SAME increment twice — the rerun must be a complete no-op
+    # (repeat registry sweeps in one process re-land again: still a no-op,
+    # which is itself the contract under test)
+    idempotent_fact_append(spark, catalog, fact, "fact_orders")
+    idempotent_fact_append(spark, catalog, fact, "fact_orders")
+    return catalog.read_table(spark, "fact_orders").select(
+        "id_fact",
+        "id_customer",
+        "id_order_date",
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
     )
 
 
@@ -302,6 +341,7 @@ _SQL_DISTINCT_COUNTS = "SELECT " + ", ".join(
     "distinct_counts_orders",
     _SQL_DISTINCT_COUNTS,
     "A3: per-column distinct counts in one pass (data_profiling.py:1-8)",
+    retired=True,  # driver window: per-column distincts oracle-checked via profile_lineitem's distinct_{c}; the countDistinct aggregate primitive stays driver-checked in consistency_check
 )
 def distinct_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _views(spark, sf_dir, ["orders"])["orders"]
@@ -569,7 +609,7 @@ FROM events GROUP BY date_trunc('hour', ts)
     "hourly_events_rollup",
     _SQL_HOURLY,
     "time-bucketed aggregation (batch twin of the streaming tumbling window)",
-    retired=True,  # driver window: subsumed by streaming_hourly_rollup (same hourly rollup oracle)
+    retired=True,  # driver window: subsumed by streaming_watermarked_rollup (same hourly rollup oracle, via the retired streaming_hourly_rollup batch twin)
 )
 def hourly_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _views(spark, sf_dir, ["events"])["events"]
@@ -600,6 +640,7 @@ _SQL_QUANTILES = "SELECT " + ", ".join(
     "intervals → broadcast rank probe → interpolate. F.percentile would "
     "buffer the whole column in one aggregation task — fine at test SF, "
     "an OOM at 100 TB; this plan's peak task state is a histogram slice",
+    retired=True,  # driver window: subsumed by quantiles_by_event_type (both delegate to _quantile_values; the grouped form runs the identical core with a real key)
 )
 def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _views(spark, sf_dir, ["lineitem"])["lineitem"]
