@@ -283,12 +283,14 @@ def test_maintenance_compacts_and_expires(spark, tmp_path):
     assert not any(k.startswith("bronze/") for k in compacted)
     for tier in sorted(os.listdir(zones)):
         for entity in sorted(os.listdir(os.path.join(zones, tier))):
+            if entity.startswith("_"):  # metadata tables (_quality) are
+                continue                # not date-partitioned entity zones
             zpath = os.path.join(zones, tier, entity)
             parts = [e for e in os.listdir(zpath) if e.startswith("_ingestion_date=")]
             assert parts == ["_ingestion_date=2024-03-26"], (zpath, parts)
     # silver data still readable after in-place compaction
     silver = os.path.join(zones, "silver")
-    entity = sorted(os.listdir(silver))[0]
+    entity = sorted(e for e in os.listdir(silver) if not e.startswith("_"))[0]
     assert spark.read.parquet(os.path.join(silver, entity)).count() > 0
 
 

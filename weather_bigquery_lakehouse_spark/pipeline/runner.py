@@ -272,6 +272,12 @@ def run_maintenance(
             if not os.path.isdir(tpath):
                 continue
             for entity in sorted(os.listdir(tpath)):
+                # underscore-prefixed dirs are metadata tables (_quality:
+                # one row per run, nothing to compact or expire) — Spark's
+                # own file index ignores _-prefixed paths, so treating one
+                # as an entity zone would fail the read outright
+                if entity.startswith("_"):
+                    continue
                 epath = os.path.join(tpath, entity)
                 if os.path.isdir(epath):
                     yield f"{tier}/{entity}", epath
