@@ -8,20 +8,28 @@ instead of the reference's O(columns) eager count() jobs:
             filter / dedup, stamp `_processing_date`.
   cities:   flatten nested structs to `parent_child` columns, same
             cleaning, name↔id consistency check (A1).
+
+Per-run cleaning accounting (the counts the reference PRINTS per step,
+data_cleaning.py:8-53) is persisted under ``silver/_quality/<entity>`` via
+``df.observe`` (CollectMetrics): the aggregates are collected WHILE the
+silver write streams the data, so the quality table costs ZERO extra
+passes — at 100 TB a second accounting scan of bronze would double the
+stage's read volume.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
+    _numeric_cols,
     dedupe_rows,
     drop_null_rows,
     normalize_names,
-    removal_accounting,
     trim_strings,
 )
 from ..functions.dates import parse_date_multi
@@ -31,37 +39,81 @@ from ..io.writers import write_table
 from .bronze import CITY_PAYLOAD, FORECAST_PAYLOAD, read_bronze
 
 
-def write_quality_report(
-    pre: DataFrame,
-    post: DataFrame,
-    zone_dir: str,
-    entity: str,
-    processing_date: str,
-) -> None:
-    """Persist the per-stage cleaning accounting as a first-class silver
-    output: one row per (entity, run) under ``silver/_quality/<entity>``
-    with rows in/out and every count the reference prints per cleaning
-    step (nulls per column, untrimmed strings, duplicate rows — reference
-    data_cleaning.py:8-53). The accounting and the rows-out count are two
-    aggregates composed into ONE write job (cross-join of two 1-row
-    frames), not a loop of eager ``count()`` actions; append mode keeps
-    the run history queryable."""
-    report = (
-        removal_accounting(pre)
-        .withColumnRenamed("n_rows", "rows_in")
-        .crossJoin(post.agg(F.count(F.lit(1)).alias("rows_out")))
-    )
-    metric_cols = [c for c in report.columns if c not in ("rows_in", "rows_out")]
-    out = report.select(
-        F.lit(entity).alias("entity"),
-        F.lit(processing_date).cast("date").alias("_processing_date"),
-        "rows_in",
-        "rows_out",
-        *metric_cols,
-    )
-    write_table(
-        out, os.path.join(zone_dir, "silver", "_quality", entity), mode="append"
-    )
+class QualityObserver:
+    """Threads cleaning-accounting observations through a silver chain.
+
+    Three `CollectMetrics` points ride the ONE silver write action:
+      * ``observe_pre``  — rows_in + per-column null/NaN counts + per-
+        string-column untrimmed counts on the raw frame;
+      * ``observe_mid``  — row count after null-filter/trim, before dedup
+        (so duplicate removals are separable from null removals);
+      * ``observe_out``  — rows written.
+
+    ``write_report`` then assembles the 1-row ``_quality`` table from the
+    collected metric dicts (driver-side constants — no second scan).
+    ``observe`` cannot host distinct aggregates, so unlike the standalone
+    ``removal_accounting`` oracle query the report derives duplicates as
+    ``mid − out`` instead of a countDistinct over all columns — the same
+    number whenever dedup is the only mid→out transform (which the silver
+    chains guarantee)."""
+
+    def __init__(self) -> None:
+        self._pre = Observation()
+        self._mid = Observation()
+        self._out = Observation()
+
+    def observe_pre(self, df: DataFrame) -> DataFrame:
+        numeric = _numeric_cols(df)
+        strings = {
+            f.name for f in df.schema.fields if f.dataType.typeName() == "string"
+        }
+        aggs = [F.count(F.lit(1)).alias("rows_in")]
+        for c in df.columns:
+            is_null = F.col(c).isNull()
+            if c in numeric:
+                is_null = is_null | F.isnan(F.col(c))
+            aggs.append(F.sum(is_null.cast("bigint")).alias(f"n_null_{c}"))
+        for c in df.columns:
+            if c in strings:
+                dirty = F.col(c).isNotNull() & (F.col(c) != F.trim(F.col(c)))
+                aggs.append(F.sum(dirty.cast("bigint")).alias(f"n_untrimmed_{c}"))
+        return df.observe(self._pre, *aggs)
+
+    def observe_mid(self, df: DataFrame) -> DataFrame:
+        return df.observe(self._mid, F.count(F.lit(1)).alias("n"))
+
+    def observe_out(self, df: DataFrame) -> DataFrame:
+        return df.observe(self._out, F.count(F.lit(1)).alias("n"))
+
+    def write_report(
+        self,
+        spark: SparkSession,
+        zone_dir: str,
+        entity: str,
+        processing_date: str,
+    ) -> None:
+        """Call AFTER the silver write action — `Observation.get` blocks
+        until the first action over the observed plan completes."""
+        pre = dict(self._pre.get)
+        mid_rows = int(self._mid.get["n"])
+        rows_out = int(self._out.get["n"])
+        rows_in = int(pre.pop("rows_in"))
+        row = {
+            "entity": entity,
+            "_processing_date": _dt.date.fromisoformat(processing_date),
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            # sum() over an empty/all-clean frame observes NULL, not 0
+            **{k: int(v or 0) for k, v in pre.items()},
+            "n_duplicate_rows": mid_rows - rows_out,
+        }
+        order = list(row.keys())
+        report = spark.createDataFrame([row]).select(*order)
+        write_table(
+            report,
+            os.path.join(zone_dir, "silver", "_quality", entity),
+            mode="append",
+        )
 
 
 def silver_weather(
@@ -93,8 +145,10 @@ def silver_weather(
         "_source",
         "_ingestion_date",
     )
-    cleaned = (
-        dedupe_rows(drop_null_rows(trim_strings(exploded)))
+    q = QualityObserver()
+    mid = q.observe_mid(drop_null_rows(trim_strings(q.observe_pre(exploded))))
+    cleaned = q.observe_out(
+        dedupe_rows(mid)
         .withColumn("atualizado_em", parse_date_multi("atualizado_em"))
         .withColumn("data", F.to_date("data"))
         .withColumn("_processing_date", F.lit(processing_date).cast("date"))
@@ -104,7 +158,7 @@ def silver_weather(
         os.path.join(zone_dir, "silver", "cptec_weather"),
         partition_by=["_ingestion_date"],
     )
-    write_quality_report(exploded, cleaned, zone_dir, "cptec_weather", processing_date)
+    q.write_report(spark, zone_dir, "cptec_weather", processing_date)
     return cleaned
 
 
@@ -130,8 +184,12 @@ def silver_cities(
         "_source",
         "_ingestion_date",
     )
-    cleaned = dedupe_rows(trim_strings(projected)).withColumn(
-        "_processing_date", F.lit(processing_date).cast("date")
+    q = QualityObserver()
+    mid = q.observe_mid(trim_strings(q.observe_pre(projected)))
+    cleaned = q.observe_out(
+        dedupe_rows(mid).withColumn(
+            "_processing_date", F.lit(processing_date).cast("date")
+        )
     )
     violations = consistency_violations(cleaned, "nome", "id")
     write_table(
@@ -139,7 +197,7 @@ def silver_cities(
         os.path.join(zone_dir, "silver", "ibge_cities"),
         partition_by=["_ingestion_date"],
     )
-    write_quality_report(projected, cleaned, zone_dir, "ibge_cities", processing_date)
+    q.write_report(spark, zone_dir, "ibge_cities", processing_date)
     return cleaned, violations
 
 
@@ -152,13 +210,17 @@ def silver_cptec_cities(
     cities = bronze.select(
         F.col("codigo").alias("id"), "nome", "estado", "_source", "_ingestion_date"
     )
-    cleaned = dedupe_rows(drop_null_rows(trim_strings(cities))).withColumn(
-        "_processing_date", F.lit(processing_date).cast("date")
+    q = QualityObserver()
+    mid = q.observe_mid(drop_null_rows(trim_strings(q.observe_pre(cities))))
+    cleaned = q.observe_out(
+        dedupe_rows(mid).withColumn(
+            "_processing_date", F.lit(processing_date).cast("date")
+        )
     )
     write_table(
         cleaned,
         os.path.join(zone_dir, "silver", "cptec_cities"),
         partition_by=["_ingestion_date"],
     )
-    write_quality_report(cities, cleaned, zone_dir, "cptec_cities", processing_date)
+    q.write_report(spark, zone_dir, "cptec_cities", processing_date)
     return cleaned

@@ -271,8 +271,13 @@ def fact_rerun_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.gold import idempotent_fact_append
     from .curation import _gold_workdir  # lazy: curation imports from here
 
-    fact = fact_orders_keys(spark, sf_dir).withColumn(
-        "_ingestion_date", F.lit("1998-08-02").cast("date")
+    # localCheckpoint: the fact lineage (join + 3 sha2 keys) is consumed by
+    # up to four actions below (two date probes, two writes) — pin ONE
+    # build instead of recomputing it per action
+    fact = (
+        fact_orders_keys(spark, sf_dir)
+        .withColumn("_ingestion_date", F.lit("1998-08-02").cast("date"))
+        .localCheckpoint(eager=True)
     )
     root = os.path.join(_gold_workdir(sf_dir), "fact_rerun")
     catalog = GoldCatalog(root, spark=spark)
