@@ -127,6 +127,7 @@ EXTENDED = [
     "training_shards_manifest",
     "multimodal_frame_manifest",
     "fact_rerun_idempotent",
+    "streaming_dedup_bounded",
 ]
 
 

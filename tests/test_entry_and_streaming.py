@@ -434,3 +434,50 @@ def test_as_stream_dir_recreates_stale_symlink(tmp_path):
         f.write("squatter")
     _as_stream_dir(str(src))
     assert os.path.islink(link) and os.readlink(link) == str(src.resolve())
+
+
+def test_bounded_dedup_state_evicts_and_never_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract across runs: (a) in-horizon
+    redelivery is suppressed by state, (b) out-of-horizon redelivery is
+    late-dropped by the watermark (so duplicates never re-emit either
+    way), and (c) the state store holds ONLY the non-evicted keys — the
+    bounded-state property that distinguishes this from dropDuplicates'
+    grow-forever seen-set."""
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_bounded_dedup_stream,
+    )
+
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp_ntz"
+    )
+    zone = tmp_path / "ev_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "ev_ckpt")
+    sink = str(tmp_path / "ev_sink")
+
+    def ev(eid, hour):
+        import datetime as dt
+
+        return (eid, 7, "click", 1.0, "{}", dt.datetime(2024, 1, 1, hour))
+
+    spark.createDataFrame([ev(1, 0), ev(2, 5)], schema).write.parquet(str(zone / "f1"))
+    out1 = run_bounded_dedup_stream(
+        spark, str(zone) + "/*", delay="1 hour", checkpoint_dir=ckpt, output_dir=sink
+    )
+    assert {r["event_id"] for r in out1.collect()} == {1, 2}
+    # state after run 1: watermark = 05:00 - 1h = 04:00 → event 1's entry
+    # (ts 00:00, expired at 01:00) is EVICTED; only event 2 remains
+    state = spark.read.format("statestore").load(ckpt)
+    assert state.count() == 1
+
+    # run 2: event 1 redelivered out-of-horizon (late-dropped), event 2
+    # redelivered in-horizon (state-suppressed), event 3 genuinely new
+    spark.createDataFrame([ev(1, 0), ev(2, 5), ev(3, 6)], schema).write.parquet(
+        str(zone / "f2")
+    )
+    out2 = run_bounded_dedup_stream(
+        spark, str(zone) + "/*", delay="1 hour", checkpoint_dir=ckpt, output_dir=sink
+    )
+    ids = sorted(r["event_id"] for r in out2.collect())
+    assert ids == [1, 2, 3]  # cumulative sink: each event exactly once

@@ -120,6 +120,42 @@ class TestCleaning:
         assert row["n_distinct_rows"] == df.dropDuplicates().count() == 4
         assert row["n_duplicate_rows"] == 1
 
+    def test_quality_observer_rides_one_action(self, spark, tmp_path):
+        """All three CollectMetrics points must resolve after the SINGLE
+        write action — the zero-extra-pass contract of the silver quality
+        accounting (a second scan of bronze at 100 TB would double the
+        stage's read volume). Values must match the eager ground truth."""
+        from weather_bigquery_lakehouse_spark.functions.cleaning import (
+            dedupe_rows,
+            drop_null_rows,
+            trim_strings,
+        )
+        from weather_bigquery_lakehouse_spark.pipeline.silver import QualityObserver
+
+        df = spark.createDataFrame(
+            [
+                Row(a=1.0, s=" x "),
+                Row(a=float("nan"), s="y"),
+                Row(a=None, s="z"),
+                Row(a=2.0, s="m"),
+                Row(a=2.0, s="m"),  # duplicate — removed by dedupe
+            ],
+            "a double, s string",
+        )
+        q = QualityObserver()
+        mid = q.observe_mid(drop_null_rows(trim_strings(q.observe_pre(df))))
+        out = q.observe_out(dedupe_rows(mid))
+        out.write.mode("overwrite").parquet(str(tmp_path / "o"))  # ONE action
+        q.write_report(spark, str(tmp_path / "z"), "e", "2024-03-25")
+        rep = spark.read.parquet(str(tmp_path / "z") + "/silver/_quality/e").first()
+        assert rep["rows_in"] == 5
+        assert rep["n_null_a"] == 2  # NULL + NaN
+        assert rep["n_untrimmed_s"] == 1
+        assert rep["rows_out"] == 2  # 3 survive null filter, 1 dup removed
+        assert rep["n_duplicate_rows"] == 1
+        assert rep["entity"] == "e"
+        assert str(rep["_processing_date"]) == "2024-03-25"
+
 
 class TestProfiling:
     def test_profile_is_single_row(self, spark):

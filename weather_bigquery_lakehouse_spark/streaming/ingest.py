@@ -157,6 +157,84 @@ def run_dedup_stream(
     return spark.read.schema("text_sha string").parquet(output)
 
 
+def _replayed_zone(path: str, copies: int) -> str:
+    """A scratch zone listing the same file ``copies`` times under distinct
+    symlink names — an at-least-once redelivery simulation (each copy
+    streams as its own source file, so duplicates can arrive in separate
+    micro-batches and exercise cross-batch dedup state)."""
+    zone = _scratch("wbl_stream_replay_")
+    target = os.path.abspath(path)
+    for i in range(copies):
+        os.symlink(target, os.path.join(zone, f"copy{i}.parquet"))
+    return zone
+
+
+def run_bounded_dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "1 hour",
+    replay_copies: int = 1,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` ties state retention to the
+    event-time watermark, so the seen-set holds O(arrival rate × horizon)
+    keys and old entries are EVICTED — where ``run_dedup_stream``'s plain
+    ``dropDuplicates`` keeps every key forever (an unbounded state store
+    on a 100 TB events firehose). The trade, pinned by pytest: a
+    redelivery later than ``delay`` after the original is handled by the
+    watermark itself (late rows are filtered before the state lookup), so
+    duplicates never re-emit, but a LEGITIMATE new event stamped older
+    than the watermark is dropped too — standard watermark semantics, the
+    right contract when upstream duplication comes from bounded redelivery
+    (retries, at-least-once sources).
+
+    ``replay_copies > 1`` streams the zone as that many identical source
+    files (redelivery simulation); for ANY batching the emitted set equals
+    the distinct events: a duplicate is either newer than the watermark
+    (suppressed by state — the original's entry expires only at
+    watermark > ts + delay, which cannot have happened while the duplicate
+    is still ≥ watermark) or older (dropped as late). That makes the batch
+    ``SELECT DISTINCT`` oracle exact."""
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_bdedup_")
+    schema = events_schema(spark, events_path)  # footer peek before dir-wrap
+    zone = (
+        _replayed_zone(events_path, replay_copies)
+        if replay_copies > 1
+        else _as_stream_dir(events_path)
+    )
+    stream = (
+        normalize_event_ts(spark.readStream.schema(schema).parquet(zone))
+        # EventTimeWatermark requires TIMESTAMP (not NTZ); session tz is
+        # pinned UTC, so the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "event_type string, value double"
+    ).parquet(output)
+
+
 def run_watermarked_rollup_stream(
     spark: SparkSession,
     events_path: str,
