@@ -146,3 +146,28 @@ def test_rag_probe_side_pushes_doc_filter_and_broadcasts_probes(spark, sf_dir):
     scans = plan.count("documents.parquet]")
     assert scans == 2, f"expected 2 documents scans (corpus + probes), got {scans}"
     assert plan.count("LessThan(doc_id,2)") == 1
+
+
+def test_chunk_index_refresh_base_never_shuffles(spark, sf_dir):
+    """Incremental index maintenance: the changed-key anti-join must be a
+    broadcast LeftAnti — a shuffled anti-join would move the entire (100 TB)
+    chunk index to replace a handful of changed docs."""
+    plan = _plan(QUERIES["chunk_index_refresh"].fn(spark, sf_dir), "simple")
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti)
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_gate_evaluates_once(spark, sf_dir):
+    """The corpus pipeline pins ONE evaluation of the HOF-heavy Gopher
+    gate behind an aggregate barrier. Without it, predicate pushdown
+    substitutes the flag-conjunction tree into the Filter and the token
+    HOFs re-evaluate several times over (measured 17 s vs 1.6 s at sf0.1).
+    Pin: the interpreted lambda count stays at the barriered plan's level."""
+    plan = _plan(QUERIES["corpus_curation_pipeline"].fn(spark, sf_dir), "simple")
+    # healthy barriered plan: the gopher stage's lambdas appear once; the
+    # regressed plan inlines them into filter + project (several-fold).
+    n = plan.count("lambdafunction")
+    assert n <= 30, f"lambda count {n} — gopher gate evaluating more than once?"
+    # and the barrier itself: an aggregate keyed on doc_id below the filter
+    assert "passes" in plan
