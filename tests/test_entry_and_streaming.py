@@ -481,3 +481,53 @@ def test_bounded_dedup_state_evicts_and_never_reemits(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in out2.collect())
     assert ids == [1, 2, 3]  # cumulative sink: each event exactly once
+
+
+def test_session_stream_idle_timeout_closes_and_frees_state(spark, tmp_path):
+    """Bounded-state sessionization (idle_close_delay): when the watermark
+    passes an open session's end + gap, the timeout fires — the session
+    closes and EMITS without any new event from that user, and the user's
+    state slot is REMOVED. Without it (NoTimeout) a dead user's open
+    session pins state forever."""
+    import datetime as dt
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import run_session_stream
+
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp_ntz"
+    )
+    zone = tmp_path / "sess_zone"
+    zone.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    sink = str(tmp_path / "sess_sink")
+    kw = dict(gap_seconds=6 * 3600, checkpoint_dir=ckpt, output_dir=sink,
+              idle_close_delay="1 hour")
+
+    def ev(eid, uid, hour):
+        return (eid, uid, "click", 1.0, "{}", dt.datetime(2024, 1, 1, hour))
+
+    # run 1: user 7's session spans 00:00-01:00; user 8 is active at 20:00,
+    # advancing the watermark to 19:00 > 01:00 + 6h gap — AvailableNow
+    # follows the data batch with a final batch under the advanced
+    # watermark, so user 7's timeout fires WITHIN the run: the session
+    # emits with no further user-7 event and the state slot is freed
+    spark.createDataFrame(
+        [ev(1, 7, 0), ev(2, 7, 1), ev(3, 8, 20)], schema
+    ).write.parquet(str(zone / "f1"))
+    out1 = run_session_stream(spark, str(zone) + "/*", **kw)
+    rows = {r["user_id"]: r for r in out1.collect()}
+    assert set(rows) == {7}
+    assert str(rows[7]["session_start"]) == "2024-01-01 00:00:00"
+    assert str(rows[7]["session_end"]) == "2024-01-01 01:00:00"
+    assert rows[7]["n_events"] == 2
+    state = spark.read.format("statestore").load(ckpt)
+    assert {r["key"]["user_id"] for r in state.collect()} == {8}
+
+    # run 2: user 9 appears at 21:00 → watermark 20:00; user 8's timeout
+    # (26:00) hasn't passed, so nothing new emits and both stay in state
+    spark.createDataFrame([ev(4, 9, 21)], schema).write.parquet(str(zone / "f2"))
+    out2 = run_session_stream(spark, str(zone) + "/*", **kw)
+    assert {r["user_id"] for r in out2.collect()} == {7}  # cumulative sink
+    state = spark.read.format("statestore").load(ckpt)
+    assert {r["key"]["user_id"] for r in state.collect()} == {8, 9}

@@ -302,6 +302,7 @@ def run_session_stream(
     gap_seconds: int = 6 * 3600,
     checkpoint_dir: str | None = None,
     output_dir: str | None = None,
+    idle_close_delay: str | None = None,
 ) -> DataFrame:
     """CUSTOM stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` — the engine shape for stateful logic the
@@ -318,22 +319,50 @@ def run_session_stream(
     user's final (still-open) session.
 
     Events are assumed in order per run (the AvailableNow zone replay);
-    within a batch they are sorted explicitly. A production deployment adds
-    a watermark + event-time timeout to bound state for dead users."""
+    within a batch they are sorted explicitly.
+
+    ``idle_close_delay`` (e.g. ``"1 hour"``) is the production bounded-
+    state mode: a watermark plus an EVENT-TIME TIMEOUT set to the open
+    session's end + gap. When the watermark passes that point no in-
+    watermark event can extend the session anymore, so the timeout fires,
+    the session closes and EMITS, and the user's state is REMOVED — state
+    holds only users active within the watermark horizon instead of every
+    user ever seen (a dead user would otherwise pin state forever on an
+    unbounded stream). The default (None) keeps NoTimeout: state carries
+    across runs indefinitely, which is what the finite-replay oracle
+    checks."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     output = output_dir or _scratch("wbl_stream_sess_")
     gap_us = gap_seconds * 1_000_000
+    bounded = idle_close_delay is not None
 
     def _micros(ts: pd.Series) -> pd.Series:
         vals = pd.to_datetime(ts)
         ints = vals.astype("int64")
         return ints // 1000 if vals.dtype.name.endswith("[ns]") else ints
 
+    def _frame(sessions: list[tuple]) -> pd.DataFrame:
+        out = pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if bounded and state.hasTimedOut:
+            # watermark passed session end + gap: nothing in-watermark can
+            # extend it — close, emit, free the state slot
+            if state.exists:
+                start_us, last_us, n, cents = state.get
+                yield _frame([(user_id, start_us, last_us, n, cents / 100.0)])
+            state.remove()
+            return
         start_us = last_us = None
         n, cents = 0, 0
         if state.exists:
@@ -350,26 +379,36 @@ def run_session_stream(
             else:
                 last_us, n, cents = us, n + 1, cents + c
         state.update((start_us, last_us, n, cents))
+        if bounded:
+            # fires once the watermark proves no extension is possible;
+            # last_us ≥ watermark (older rows are watermark-filtered), so
+            # the timestamp is always ahead of the current watermark
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            yield out
+            yield _frame(closed)
 
     stream = normalize_event_ts(
         spark.readStream.schema(events_schema(spark, events_path)).parquet(
             _as_stream_dir(events_path)
         )
-    ).select("user_id", "ts", "value")
+    )
+    if bounded:
+        # EventTimeWatermark requires TIMESTAMP (not NTZ); session tz is
+        # pinned UTC, so the cast is value-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", idle_close_delay
+        )
+    stream = stream.select("user_id", "ts", "value")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if bounded
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     (
         sessions.writeStream.format("parquet")
