@@ -128,6 +128,10 @@ EXTENDED = [
     "multimodal_frame_manifest",
     "fact_rerun_idempotent",
     "streaming_dedup_bounded",
+    # round-6 staged additions
+    "repeated_span_scrub",
+    "token_budget_sample",
+    "quality_bigram_lm",
 ]
 
 

@@ -529,3 +529,110 @@ def test_split_leakage_safe_shuffle_fallback_identical_and_unbroadcast(spark):
     # the auto path (None) on a tiny label frame picks the broadcast plan
     auto = cu.split_leakage_safe(docs, pairs)
     assert rows(auto) == rows(bc)
+
+
+# --------------------------------------------------------------------------
+# repeated_span_scrub / token_budget_sample / bigram_lm_score (round 6)
+# --------------------------------------------------------------------------
+
+
+def test_repeated_span_scrub_removes_shared_span_tokens(spark):
+    """Tokens covered by a cross-doc 5-gram are dropped; unique text and
+    sub-k docs pass through untouched (normalized to lowercase tokens)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA the same boilerplate footer text here plus one"),
+            (2, "intro words the same boilerplate footer text here"),
+            (3, "unique words that appear exactly once in corpus"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cu.repeated_span_scrub(docs, k=5).collect()}
+    # doc 1: "the same boilerplate footer text here" (6 tokens, two
+    # overlapping shared 5-grams) is removed; leading AAA + trailing words stay
+    assert out[1].scrubbed_text == "aaa plus one"
+    assert out[1].n_removed_tokens == 6 and out[1].n_tokens == 9
+    assert out[2].scrubbed_text == "intro words"
+    assert out[3].scrubbed_text == out[3].scrubbed_text.lower()
+    assert out[3].n_removed_tokens == 0
+    assert out[4].scrubbed_text == "too short" and out[4].n_removed_tokens == 0
+
+
+def test_repeated_span_scrub_can_empty_a_document(spark):
+    """A doc that is ENTIRELY a shared span scrubs to the empty string —
+    the row survives with n_removed == n_tokens (accounting stays exact)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cu.repeated_span_scrub(docs, k=5).collect()}
+    assert out[1].scrubbed_text == "" and out[2].scrubbed_text == ""
+    assert out[1].n_removed_tokens == 5 and out[1].n_tokens == 5
+
+
+def test_token_budget_sample_cuts_at_budget_and_drops_unlisted(spark):
+    """Per-domain inclusive cumsum in md5(seed|id) order: docs kept while
+    the running token total fits; zero-budget and unlisted domains empty."""
+    rows = [(i, "w " * 10, "a") for i in range(10)]  # 10 tokens each
+    rows += [(100 + i, "w " * 10, "b") for i in range(4)]
+    rows += [(200 + i, "w " * 10, "zz") for i in range(3)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = cu.token_budget_sample(
+        docs, {"a": 35, "b": 1000, "c": 0}, seed="s"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # budget 35 / 10-token docs → exactly 3 whole docs, never a partial 4th
+    assert len(by_src["a"]) == 3
+    assert max(r.cum_tokens for r in by_src["a"]) == 30
+    assert len(by_src["b"]) == 4  # budget ≫ total → domain kept whole
+    assert "zz" not in by_src and "c" not in by_src
+    # deterministic: same seed → same kept set
+    again = cu.token_budget_sample(docs, {"a": 35, "b": 1000, "c": 0}, seed="s")
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out
+    )
+    # kept set is the md5-order prefix: every kept doc's cum ≤ every
+    # dropped doc's would-be position (prefix property via cum monotone)
+    kept_a = sorted(r.cum_tokens for r in by_src["a"])
+    assert kept_a == [10, 20, 30]
+
+
+def test_bigram_lm_score_prefers_repeated_transitions(spark):
+    """Docs made of the corpus's dominant transitions score high; a doc of
+    one-off transitions scores low and is fully novel."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b a b"),
+            (3, "q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cu.bigram_lm_score(docs).collect()}
+    # vocab V = 7 (a b q r s t u). Laplace: P(b|a) = (5+1)/(5+7) = 0.5,
+    # P(a|b) = (3+1)/(3+7) = 0.4; doc 3's one-off transitions score
+    # (1+1)/(1+7) = 0.25 — NOT 1.0 (the unsmoothed-MLE degeneracy).
+    assert out[3].novel_bigram_frac == 1.0
+    assert out[1].novel_bigram_frac == 0.0
+    assert out[1].mean_cond_prob > out[3].mean_cond_prob
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 3
+    assert abs(out[3].mean_cond_prob - 0.25) < 1e-9
+    # mean for doc2: bigrams [ab, ba, ab] → (0.5 + 0.4 + 0.5)/3
+    assert abs(out[2].mean_cond_prob - round((0.5 + 0.4 + 0.5) / 3, 6)) < 1e-9
+
+
+def test_bigram_lm_score_single_token_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in cu.bigram_lm_score(docs).collect()}
+    assert 1 not in out and out[2].n_bigrams == 1

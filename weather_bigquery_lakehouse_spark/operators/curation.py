@@ -344,6 +344,75 @@ def repeated_span_flags(
     )
 
 
+def repeated_span_scrub(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span REMOVAL — the transform behind
+    ``repeated_span_flags``' accounting: every token covered by any
+    word-``k``-gram span that occurs in ≥ ``min_docs`` distinct documents
+    is dropped, and the survivors are re-joined into ``scrubbed_text``
+    (whitespace-normalized lowercase — the tokenizer's canonical form,
+    identical in the oracle, same convention as ``chunk_documents``'
+    chunk_text). This is the rule C4 applies with three-sentence spans;
+    word-k-gram spans are the tokenizer-level equivalent.
+
+    Scale shape: the hot-span set is the same global combinable count as
+    the flags op (GLOBAL frequency — no candidate pairs, no quadratic
+    stage); coverage positions are one explode of hot-span HITS (bounded
+    by hot occurrences, not all spans), deduplicated and collected into a
+    per-doc sorted index array whose size is bounded by the doc's own
+    token count; reassembly is per-row array arithmetic. Work ∝ corpus
+    spans + hot-span coverage — the same budget the flags pass spends.
+    """
+    spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t")).where(
+        F.size("__t") > 0
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(F.col("__t"), k)).alias("__pos", "__span"),
+    )
+    # per-doc-distinct spans → plain COUNT(*) is the distinct-doc count
+    hot = (
+        sh.select(F.col(id_col), "__span")
+        .distinct()
+        .groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+    # 1-based token indices covered by any hot-span occurrence
+    cov = (
+        sh.join(hot, "__span")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos") + 1, F.col("__pos") + k)
+            ).alias("__idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__idx")).alias("__cov"))
+    )
+    joined = toks.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.col("__t"),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")).alias("__cov"),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.expr(
+            "concat_ws(' ', filter(__t, (t, i) -> NOT array_contains(__cov, i + 1)))"
+        ).alias("scrubbed_text"),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_removed_tokens"),
+    )
+
+
 _MIX_BUCKETS = 10_000  # basis-point keep-rate resolution
 
 
@@ -437,6 +506,89 @@ def shuffle_order(
             F.col("shard_rank"),
             (F.col("__off") + F.col("shard_rank")).cast("bigint").alias("global_rank"),
         )
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget42",
+) -> DataFrame:
+    """Token-budget epoch construction: keep each domain's documents, in
+    content-addressed md5 order, until the domain's token budget is
+    exhausted — the "exactly N tokens of web, M of code" primitive behind
+    training-mixture specs (budgets count tokens, not rows, because
+    tokens are what a training run consumes; ``mixture_balance`` is the
+    row-share twin).
+
+    A document is kept iff its inclusive cumulative token total within
+    its domain's ``md5(seed|id)`` ordering is ≤ the domain's budget —
+    whole documents only, never a truncated tail, deterministic across
+    engines/retries/partition layouts. Domains absent from ``budgets``
+    are dropped.
+
+    Scale shape: the running sum is computed the distributed way (the
+    same decomposition as ``shuffle_order``): rows shard on the key's
+    first byte (256 order-preserving shards per domain), the cumulative
+    sum is a per-(domain, shard) window, and each shard adds the token
+    total of its domain's strictly-earlier shards — a |domains|·256-row
+    metadata aggregate joined back via broadcast. No domain-wide
+    single-reducer window anywhere, so a 100 TB domain costs 256 bounded
+    sorts instead of one unbounded one.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    base = df.where(F.col(text_col).isNotNull())
+    keyed = base.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
+        md5_key(id_col, salt=seed + "|").alias("__key"),
+    ).withColumn("__shard", F.conv(F.substring("__key", 1, 2), 16, 10).cast("int"))
+    budget_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            sorted((s, int(b)) for s, b in budgets.items()),
+            f"{source_col} string, __budget bigint",
+        )
+    )
+    keyed = keyed.join(budget_df, source_col)  # drops unlisted domains
+    w = (
+        Window.partitionBy(source_col, "__shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.withColumn("__cum_local", F.sum("n_tokens").over(w))
+    sizes = keyed.groupBy(source_col, "__shard").agg(
+        F.sum("n_tokens").alias("__sz")
+    )
+    offsets = (
+        sizes.alias("a")
+        .join(
+            sizes.alias("b"),
+            (F.col(f"a.{source_col}") == F.col(f"b.{source_col}"))
+            & (F.col("b.__shard") < F.col("a.__shard")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{source_col}").alias("__osrc"),
+            F.col("a.__shard").alias("__oshard"),
+        )
+        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (local[source_col] == offsets["__osrc"])
+            & (local["__shard"] == offsets["__oshard"]),
+        )
+        .withColumn(
+            "cum_tokens", (F.col("__off") + F.col("__cum_local")).cast("bigint")
+        )
+        .where(F.col("cum_tokens") <= F.col("__budget"))
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
     )
 
 
@@ -641,6 +793,96 @@ def token_df_fluency(
             F.round(
                 F.col("__n_rare").cast("double") / F.col("__n").cast("double"), 6
             ).alias("rare_frac"),
+        )
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score — the CCNet-style
+    perplexity quality filter, re-expressed without logarithms so the
+    emitted values are bit-portable across engines (libm ``ln()`` is not;
+    same rule as TF-IDF's ratio IDF).
+
+    The LM is the corpus itself (self-scoring, the way CCNet scores each
+    shard against a reference-corpus model): Laplace-smoothed transition
+    probability P(cur | prev) = (c(prev,cur) + 1) / (c(prev,·) + V), with
+    V the corpus unigram vocabulary. Smoothing is load-bearing, not
+    cosmetic: the UNsmoothed MLE scores a one-off context at 1.0 (its
+    only continuation is itself), i.e. the noisiest text would score
+    highest. Each occurrence's probability is materialized as an exact
+    integer in parts-per-``scale`` (``((c+1) * scale) div (ctx+V)`` —
+    BIGINT integer division, identical in Spark and the DuckDB oracle),
+    so the per-document accumulation is an order-independent BIGINT sum;
+    floating division and rounding happen once at the boundary. Fluent
+    text scores high (its transitions are the corpus's common ones);
+    token soup and OCR noise score ~2/V. ``token_df_fluency`` is the
+    unigram document-frequency twin; this one models ORDER.
+
+    Per document: ``n_bigrams``, ``mean_cond_prob`` (mean MLE transition
+    probability, floor-quantized at 1/scale), ``novel_bigram_frac``
+    (fraction of transitions whose corpus count is 1 — seen nowhere
+    else).
+
+    Scale shape: one explode of the bigram stream; bigram counts from one
+    combinable aggregate keyed on the bigram; context totals re-aggregated
+    FROM the bigram-count table (vocab²-bounded — far smaller than the
+    stream; the corpus is never re-shuffled for contexts); the
+    conditional table joins back onto the stream by bigram key — an
+    honest data-scale shuffle on both sides (a 100 TB corpus's bigram
+    vocabulary is not broadcastable) — then one combinable per-doc
+    aggregate. Overflow bound: ``c * scale`` must fit BIGINT → one bigram
+    may occur ≤ 9.2e12 times at scale=1e6 before re-scaling is needed.
+    """
+    base = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    toks = base.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+    bg = toks.select(
+        F.col(id_col), F.explode(shingles_expr(F.col("__t"), 2)).alias("__bg")
+    )
+    # vocabulary size for smoothing: one combinable distinct over the
+    # unigram stream, crossed in as a 1-row broadcast (fluency's nd shape)
+    vocab = (
+        toks.select(F.explode("__t").alias("__u"))
+        .agg(F.count_distinct("__u").alias("__v"))
+    )
+    bgc = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c"))
+    ctx = bgc.groupBy(F.split(F.col("__bg"), " ")[0].alias("__prev")).agg(
+        F.sum("__c").alias("__cc")
+    )
+    cond = (
+        bgc.join(ctx, F.split(bgc["__bg"], " ")[0] == ctx["__prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__bg",
+            "__c",
+            F.expr(
+                f"CAST(((__c + 1) * {int(scale)}L) DIV (__cc + __v) AS BIGINT)"
+            ).alias("__p"),
+        )
+    )
+    return (
+        bg.join(cond, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").alias("__sum_p"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.col("__sum_p").cast("double")
+                / (F.col("__n").cast("double") * float(scale)),
+                6,
+            ).alias("mean_cond_prob"),
+            F.round(
+                F.col("__n_novel").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("novel_bigram_frac"),
         )
     )
 

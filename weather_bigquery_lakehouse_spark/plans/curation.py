@@ -1322,3 +1322,182 @@ def streaming_gold_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "user_latest"),
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4-style repeated-span removal (the transform behind repeated_span_flags)
+# --------------------------------------------------------------------------
+
+_SCRUB_K = 5
+_SCRUB_MIN_DOCS = 2
+
+
+def _scrub_gram_sql(k: int) -> str:
+    return " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+
+
+_SQL_SPAN_SCRUB = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+sh AS (
+  SELECT doc_id, i, {_scrub_gram_sql(_SCRUB_K)} AS span
+  FROM base, UNNEST(range(1, len(t) - {_SCRUB_K} + 2)) AS u(i)
+),
+hot AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM sh)
+  GROUP BY span HAVING COUNT(*) >= {_SCRUB_MIN_DOCS}
+),
+cov AS (
+  SELECT DISTINCT sh.doc_id, j
+  FROM sh JOIN hot USING (span), UNNEST(range(sh.i, sh.i + {_SCRUB_K})) AS v(j)
+),
+covset AS (SELECT doc_id, list_sort(list(j)) AS cv FROM cov GROUP BY doc_id),
+withcov AS (
+  SELECT b.doc_id, b.t, COALESCE(c.cv, []) AS cv
+  FROM base b LEFT JOIN covset c USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(string_agg(
+         CASE WHEN NOT list_contains(cv, idx) THEN t[idx] END,
+         ' ' ORDER BY idx), '') AS scrubbed_text,
+       CAST(MAX(len(t)) AS BIGINT) AS n_tokens,
+       CAST(MAX(len(cv)) AS BIGINT) AS n_removed_tokens
+FROM withcov, UNNEST(range(1, len(t) + 1)) AS u(idx)
+GROUP BY doc_id
+"""
+
+
+@_register(
+    "repeated_span_scrub",
+    _SQL_SPAN_SCRUB,
+    f"C4-style span REMOVAL: tokens covered by any word-{_SCRUB_K}-gram "
+    f"occurring in >= {_SCRUB_MIN_DOCS} distinct docs are dropped and the "
+    "survivors re-joined (whitespace-normalized lowercase, the tokenizer's "
+    "canonical form) — global combinable span counts, coverage bounded by "
+    "hot-span hits, per-row array reassembly; no pairwise stage anywhere",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.repeated_span_scrub(docs, k=_SCRUB_K, min_docs=_SCRUB_MIN_DOCS)
+
+
+# --------------------------------------------------------------------------
+# Token-budget epoch construction (token-denominated mixture sampling)
+# --------------------------------------------------------------------------
+
+_BUDGET_SEED = "budget42"
+# Budgets chosen to exercise all fates at the fixture scale: a domain cut
+# mid-stream, a domain kept whole, and a zero-budget domain kept empty.
+_TOKEN_BUDGETS = {
+    "src0": 800,
+    "src1": 1_200,
+    "src2": 600,
+    "src3": 1_000_000,
+    "src4": 0,
+    "src5": 900,
+}
+
+
+def _budget_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_TOKEN_BUDGETS.items())
+    )
+    return f"CASE source {whens} END"
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+         md5('{_BUDGET_SEED}|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+  WHERE text IS NOT NULL
+    AND source IN ({", ".join(repr(s) for s in sorted(_TOKEN_BUDGETS))})
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_budget_case_sql()}
+"""
+
+
+@_register(
+    "token_budget_sample",
+    _SQL_TOKEN_BUDGET,
+    "token-budget epoch construction: per-domain md5-ordered cumulative "
+    "token sums, documents kept while the inclusive total fits the "
+    "domain's token budget — distributed cumsum via 256 order-preserving "
+    "key-prefix shards + metadata prefix offsets (shuffle_order's "
+    "decomposition), never a domain-wide single-reducer window",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.token_budget_sample(docs, _TOKEN_BUDGETS, seed=_BUDGET_SEED)
+
+
+# --------------------------------------------------------------------------
+# Bigram LM quality score (order-aware perplexity proxy, log-free)
+# --------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000
+
+_SQL_BIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS u FROM toks)
+),
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS prev, CAST(SUM(c) AS BIGINT) AS cc
+  FROM bgc GROUP BY split_part(bg, ' ', 1)
+),
+cond AS (
+  SELECT bg, c, CAST(((c + 1) * {_LM_SCALE}) // (cc + v) AS BIGINT) AS p
+  FROM bgc JOIN ctx ON split_part(bgc.bg, ' ', 1) = ctx.prev
+  CROSS JOIN vocab
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(p) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {_LM_SCALE}.0), 6) AS mean_cond_prob,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novel_bigram_frac
+FROM bg JOIN cond USING (bg)
+GROUP BY bg.doc_id
+"""
+
+
+@_register(
+    "quality_bigram_lm",
+    _SQL_BIGRAM_LM,
+    "corpus-trained bigram LM score (CCNet-style perplexity filter, "
+    "log-free): Laplace-smoothed transition probabilities as exact "
+    "parts-per-million "
+    "BIGINT integer division, order-independent per-doc sums, one floating "
+    "division at the boundary; context totals re-aggregated from the "
+    "vocab-bounded bigram-count table, conditional table shuffle-joined "
+    "back onto the stream (a 100 TB bigram vocabulary is not "
+    "broadcastable)",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.bigram_lm_score(docs, scale=_LM_SCALE)
