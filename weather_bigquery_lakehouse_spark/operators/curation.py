@@ -369,13 +369,20 @@ def repeated_span_scrub(
     spans + hot-span coverage — the same budget the flags pass spends.
     """
     spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
-    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t")).where(
-        F.size("__t") > 0
+    # Both frames are consumed twice (toks: span stream + reassembly join;
+    # sh: hot-span count + coverage join). localCheckpoint materializes the
+    # CPU-heaviest stages once — the same fusion dedup's lsh_verified_pairs
+    # applies to its shared shingle frame; blocks release on GC, unlike
+    # cache().
+    toks = (
+        spread.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+        .where(F.size("__t") > 0)
+        .localCheckpoint(eager=True)
     )
     sh = toks.select(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col("__t"), k)).alias("__pos", "__span"),
-    )
+    ).localCheckpoint(eager=True)
     # per-doc-distinct spans → plain COUNT(*) is the distinct-doc count
     hot = (
         sh.select(F.col(id_col), "__span")
@@ -542,6 +549,10 @@ def token_budget_sample(
     if not budgets:
         raise ValueError("budgets must be non-empty")
     base = df.where(F.col(text_col).isNotNull())
+    # keyed is consumed by the per-shard window AND the shard-size
+    # aggregate; both reduce map-side, and the recompute (scan + token
+    # count) measured cheaper than a checkpoint materialization — same
+    # trade as bigram_lm_score.
     keyed = base.select(
         F.col(id_col),
         F.col(source_col),
@@ -839,6 +850,11 @@ def bigram_lm_score(
     may occur ≤ 9.2e12 times at scale=1e6 before re-scaling is needed.
     """
     base = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    # toks is consumed by the bigram stream AND the vocab aggregate; the
+    # recompute (scan + regex split) measured CHEAPER than a checkpoint
+    # materialization at bench SF, and the two consumers reduce the stream
+    # map-side immediately — so no shared-frame checkpoint here (contrast
+    # lsh_verified_pairs, whose reused frame is the exploded shingle set).
     toks = base.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
     bg = toks.select(
         F.col(id_col), F.explode(shingles_expr(F.col("__t"), 2)).alias("__bg")
