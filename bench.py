@@ -132,6 +132,7 @@ EXTENDED = [
     "repeated_span_scrub",
     "token_budget_sample",
     "quality_bigram_lm",
+    "streaming_interval_join",
 ]
 
 

@@ -531,3 +531,68 @@ def test_session_stream_idle_timeout_closes_and_frees_state(spark, tmp_path):
     assert {r["user_id"] for r in out2.collect()} == {7}  # cumulative sink
     state = spark.read.format("statestore").load(ckpt)
     assert {r["key"]["user_id"] for r in state.collect()} == {8, 9}
+
+
+def test_interval_join_stream_matches_and_drops_late(spark, tmp_path):
+    """Stream-stream interval join contract: in-window (purchase, click)
+    pairs are emitted on arrival; a click older than the restored global
+    watermark is dropped as late even though its batch twin would match
+    (the state-boundedness trade, same as the rollup's late-drop pin)."""
+    import pandas as pd
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_interval_join_stream,
+    )
+
+    zone = tmp_path / "ivj_zone"
+    zone.mkdir()
+    ckpt, sink = str(tmp_path / "ivj_ckpt"), str(tmp_path / "ivj_sink")
+
+    def evfile(name, rows):
+        data = [
+            (eid, int(pd.Timestamp(ts).value), uid, typ, 1.0, "{}")
+            for eid, ts, uid, typ in rows
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(zone / name))
+
+    # P1(12:00,u1) matches C1(11:30,u1); 20:00 rows push BOTH sides'
+    # watermarks (global watermark = min over sides − delay = 19:00)
+    evfile(
+        "f1",
+        [
+            (1, "2024-01-01 12:00:00", 1, "purchase"),
+            (2, "2024-01-01 11:30:00", 1, "click"),
+            (3, "2024-01-01 20:00:00", 2, "click"),
+            (4, "2024-01-01 20:00:00", 3, "purchase"),
+        ],
+    )
+    out1 = run_interval_join_stream(
+        spark, str(zone) + "/*", delay="1 hour",
+        checkpoint_dir=ckpt, output_dir=sink,
+    )
+    assert {(r.event_id, str(r.click_ts)) for r in out1.collect()} == {
+        (1, "2024-01-01 11:30:00")
+    }
+
+    # C5(11:45,u1) would match P1 in batch but is far below the restored
+    # watermark → dropped; P6/C7 (19:40/19:30, u4) are above it → emitted
+    evfile(
+        "f2",
+        [
+            (5, "2024-01-01 11:45:00", 1, "click"),
+            (6, "2024-01-01 19:40:00", 4, "purchase"),
+            (7, "2024-01-01 19:30:00", 4, "click"),
+        ],
+    )
+    out2 = run_interval_join_stream(
+        spark, str(zone) + "/*", delay="1 hour",
+        checkpoint_dir=ckpt, output_dir=sink,
+    )
+    assert {(r.event_id, str(r.click_ts)) for r in out2.collect()} == {
+        (1, "2024-01-01 11:30:00"),
+        (6, "2024-01-01 19:30:00"),
+    }

@@ -1501,3 +1501,47 @@ GROUP BY bg.doc_id
 def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
     return cu.bigram_lm_score(docs, scale=_LM_SCALE)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream watermarked interval join (streaming twin of the range join)
+# --------------------------------------------------------------------------
+
+_IVJ_WINDOW_S = 3600
+# ≥ the fixture zone's time span, so no row is ever late and the emitted
+# set equals the batch inner join under ANY batching (see the operator's
+# docstring); production deployments shrink this to the real
+# out-of-orderness bound.
+_IVJ_DELAY = "35 days"
+
+_SQL_STREAM_INTERVAL_JOIN = f"""
+SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL {_IVJ_WINDOW_S} SECOND AND c.ts < e.ts
+"""
+
+
+@_register(
+    "streaming_interval_join",
+    _SQL_STREAM_INTERVAL_JOIN,
+    "watermarked stream-stream interval join (click→purchase attribution "
+    "as events arrive): both sides buffer in the state store until the "
+    "other side's watermark proves no future match — state is "
+    "O(rate × (delay + window)), not corpus-sized; on a finite replay "
+    "with a span-covering delay the emitted pairs equal the batch range "
+    "join, which is the oracle",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest import run_interval_join_stream
+
+    return run_interval_join_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        delay=_IVJ_DELAY,
+        window_seconds=_IVJ_WINDOW_S,
+    )

@@ -287,6 +287,87 @@ def run_watermarked_rollup_stream(
     ).parquet(output)
 
 
+def run_interval_join_stream(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "35 days",
+    window_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream interval join — click→purchase attribution
+    as the events arrive, the streaming twin of the batch
+    ``range_join_clicks_before_purchase``: every (purchase, click) pair of
+    the same user with the click inside ``[purchase − window, purchase)``.
+
+    This is the one Structured Streaming operator family where STATE IS
+    THE JOIN: each side buffers rows until the other side's watermark
+    proves no future match can arrive, so the two ``withWatermark`` calls
+    plus the time-range join condition are what let Spark evict — without
+    them the buffers grow with the corpus, not with the horizon. State per
+    side is O(arrival rate × (delay + window)).
+
+    Inner-join emission is driven by ARRIVAL, not watermark closure, so
+    for a finite AvailableNow replay whose ``delay`` covers the zone's
+    time span no row is ever late and the emitted set equals the batch
+    inner join under ANY batching — which makes the plain SQL range-join
+    oracle exact. A production deployment shrinks ``delay`` to its real
+    out-of-orderness bound; the trade (late clicks dropped) is the same
+    watermark contract the bounded dedup pins.
+    """
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_ivj_")
+    schema = events_schema(spark, events_path)  # footer peek before dir-wrap
+    zone = _as_stream_dir(events_path)
+
+    def _side(event_type: str, cols: dict[str, str]) -> DataFrame:
+        s = normalize_event_ts(spark.readStream.schema(schema).parquet(zone))
+        # EventTimeWatermark requires TIMESTAMP (not NTZ); session tz is
+        # pinned UTC, so the cast is value-preserving
+        return (
+            s.where(F.col("event_type") == event_type)
+            .select(
+                *[
+                    F.col(src).cast("timestamp").alias(dst)
+                    if src == "ts"
+                    else F.col(src).alias(dst)
+                    for src, dst in cols.items()
+                ]
+            )
+        )
+
+    purchases = _side(
+        "purchase", {"event_id": "event_id", "user_id": "user_id", "ts": "ts"}
+    ).withWatermark("ts", delay)
+    clicks = _side("click", {"user_id": "c_user_id", "ts": "click_ts"}).withWatermark(
+        "click_ts", delay
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("click_ts") < F.col("ts")),
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, ts timestamp_ntz, click_ts timestamp_ntz"
+    ).parquet(output)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp_ntz, session_end timestamp_ntz, "
     "n_events bigint, total_value double"
