@@ -133,6 +133,7 @@ EXTENDED = [
     "token_budget_sample",
     "quality_bigram_lm",
     "streaming_interval_join",
+    "zorder_layout_events",
 ]
 
 

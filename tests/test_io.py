@@ -671,3 +671,69 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path, sf_di
         write_training_shards(
             docs.withColumn("shard", docs.doc_id), str(tmp_path / "c"), 4
         )
+
+
+def test_write_zordered_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of z-order: after clustering on (user_id, ts), EVERY file
+    covers a small rectangle — per-file footer min/max spans are narrow on
+    BOTH columns, where a ts-sorted layout leaves user_id spans ~full. The
+    reader's stats-based skipping then prunes on either predicate."""
+    import pyarrow.parquet as pq
+
+    from weather_bigquery_lakehouse_spark.io.writers import write_zordered
+
+    ev = load_testdata(spark, sf_dir, ["events"])["events"].select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    # 16 files = the top 4 z-key bits = 2 binary splits per dimension
+    # (the interleave alternates), so each file's expected span is ~1/4
+    # of the full range on BOTH columns (+ range-boundary slop).
+    n_files = 16
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "tsorted")
+    write_zordered(ev, zdir, "user_id", "ts_us", n_files=n_files)
+    (
+        ev.repartitionByRange(n_files, F.col("ts_us"))
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .parquet(tdir)
+    )
+
+    full = {
+        c: (m["min"], m["max"])
+        for c, m in (
+            (c, dict(min=r["mn"], max=r["mx"]))
+            for c in ("user_id", "ts_us")
+            for r in ev.agg(
+                F.min(c).alias("mn"), F.max(c).alias("mx")
+            ).collect()
+        )
+    }
+
+    def mean_span(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo_, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    column = md.row_group(rg).column(ci)
+                    if column.path_in_schema == col and column.statistics:
+                        s = column.statistics
+                        lo_ = s.min if lo_ is None else min(lo_, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            assert lo_ is not None, f"no stats for {col} in {f}"
+            spans.append((hi - lo_) / (full[col][1] - full[col][0]))
+        assert len(spans) == n_files
+        return sum(spans) / len(spans)
+
+    # ts-sorted: time spans tiny but user_id spans ≈ 1.0 per file.
+    assert mean_span(tdir, "user_id") > 0.9
+    # z-ordered: BOTH dimensions narrowed toward the ~1/4 geometry bound.
+    assert mean_span(zdir, "user_id") < 0.45
+    assert mean_span(zdir, "ts_us") < 0.45
+    # and the z layout's user span beats the ts-sorted layout's by far
+    assert mean_span(zdir, "user_id") < mean_span(tdir, "user_id") / 2

@@ -57,6 +57,49 @@ def write_bucketed_table(
     writer.mode("overwrite").saveAsTable(name)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int | None = None,
+    fmt: str = "parquet",
+    keep_key: bool = False,
+) -> None:
+    """Rewrite a zone clustered on the Morton z-order of two integer
+    columns — the ``OPTIMIZE ZORDER BY (a, b)`` maintenance op: each
+    output file covers a contiguous z-key range, i.e. a small rectangle
+    in (a, b) space, so its parquet min/max footer stats are narrow on
+    BOTH columns and reads filtered on EITHER predicate skip most
+    files/row-groups (plain sorting gives this on one dimension only).
+
+    Cost is one range-repartition on the z-key — the shuffle any global
+    sort pays — plus an in-partition sort the writer streams; the z-key
+    itself is per-row integer arithmetic after a broadcast min/max probe
+    (see ``operators/layout.py``). Range boundaries come from Spark's
+    reservoir sampling, so file SIZES are balanced; file CONTENT order is
+    the deterministic z-key."""
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import ZORDER_BITS, zorder_key_frame
+
+    if "__zkey" in df.columns:
+        raise ValueError("input already has column '__zkey' — rename it first")
+    keyed = zorder_key_frame(
+        df, col_a, col_b, bits=bits or ZORDER_BITS, key_name="__zkey"
+    )
+    out = keyed.repartitionByRange(n_files, F.col("__zkey")).sortWithinPartitions(
+        "__zkey"
+    )
+    if not keep_key:
+        out = out.drop("__zkey")
+    writer = out.write.format(fmt).mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

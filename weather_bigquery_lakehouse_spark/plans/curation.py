@@ -1545,3 +1545,64 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay=_IVJ_DELAY,
         window_seconds=_IVJ_WINDOW_S,
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key (OPTIMIZE ZORDER's math, oracle-checked)
+# --------------------------------------------------------------------------
+
+from ..operators import layout as lo  # noqa: E402
+
+
+def _zorder_sql() -> str:
+    bits = lo.ZORDER_BITS
+    qa = lo.quantize_sql("za", "amin", "amax", bits, "//")
+    qb = lo.quantize_sql("zb", "bmin", "bmax", bits, "//")
+    zk = lo.interleave_sql("qa", "qb", bits, "//")
+    return f"""
+WITH base AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS za, epoch_us(ts) AS zb
+  FROM events
+),
+bounds AS (
+  SELECT MIN(za) AS amin, MAX(za) AS amax,
+         MIN(zb) AS bmin, MAX(zb) AS bmax
+  FROM base
+),
+q AS (
+  SELECT event_id, {qa} AS qa, {qb} AS qb
+  FROM base CROSS JOIN bounds
+),
+k AS (SELECT event_id, {zk} AS zkey FROM q)
+SELECT event_id, zkey,
+       CAST(zkey // {1 << (2 * lo.ZORDER_BITS - 6)} AS BIGINT) AS zcell
+FROM k
+"""
+
+
+@_register(
+    "zorder_layout_events",
+    _zorder_sql(),
+    "Morton z-order layout key over (user_id, event-time µs) — the "
+    "OPTIMIZE ZORDER primitive: overflow-free integer bucket quantization "
+    "+ div/mod bit interleave generated from ONE template for both "
+    "engines; one broadcast min/max probe, then per-row arithmetic; "
+    "write_zordered clusters a zone by this key so parquet footer stats "
+    "are narrow on BOTH dimensions (locality pytest-pinned)",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _views(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    keyed = lo.zorder_key_frame(base, "uid", "ts_us", key_name="zkey")
+    return keyed.select(
+        "event_id",
+        "zkey",
+        F.expr(f"CAST(zkey div {1 << (2 * lo.ZORDER_BITS - 6)} AS BIGINT)").alias(
+            "zcell"
+        ),
+    )
