@@ -171,3 +171,51 @@ def test_curation_pipeline_gate_evaluates_once(spark, sf_dir):
     assert n <= 30, f"lambda count {n} — gopher gate evaluating more than once?"
     # and the barrier itself: an aggregate keyed on doc_id below the filter
     assert "passes" in plan
+
+
+def test_token_budget_windows_all_partitioned_and_offsets_broadcast(spark, sf_dir):
+    """The distributed-cumsum decomposition must hold: every Window is
+    PARTITIONED (a data-scale unpartitioned window is the single-reducer
+    collapse the sharding exists to avoid), and the metadata offsets +
+    budget frames join back as broadcasts, never shuffling the corpus
+    side."""
+    plan = _plan(QUERIES["token_budget_sample"].fn(spark, sf_dir), "simple")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # partition columns come before the ORDER BY spec
+            assert "windowspecdefinition(source" in line, f"unpartitioned window: {line[:160]}"
+    assert plan.count("BroadcastHashJoin") >= 2  # budgets + offsets
+    # corpus side is scanned for the window chain, the shard sizes, and
+    # the triangular offset join's second size operand — three bounded
+    # scans, no checkpoint barrier (recompute measured cheaper at toy SF,
+    # both consumers reduce map-side)
+    assert plan.count("documents.parquet") == 3
+
+
+def test_bigram_lm_contexts_come_from_the_count_table(spark, sf_dir):
+    """Context totals c(prev,·) must derive from the vocab²-bounded bigram
+    count table via a partitioned window — NOT a groupBy + self-join on
+    bgc, which doubles the corpus explode (this pin held the documents
+    scan count at 3; the join shape measured 4)."""
+    plan = _plan(QUERIES["quality_bigram_lm"].fn(spark, sf_dir), "simple")
+    assert plan.count("documents.parquet") == 3
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert windows, "context-total window missing"
+    for line in windows:
+        # the split(prev) key is pre-projected (_w0); partitioned means the
+        # spec's first operand is a column, not the frame itself
+        assert "windowspecdefinition(specifiedwindowframe" not in line, (
+            f"unpartitioned window: {line[:160]}"
+        )
+
+
+def test_zorder_key_is_broadcast_bounds_with_zero_exchanges(spark, sf_dir):
+    """The z-key computation must be a pure map after a broadcast 1-row
+    min/max probe: ZERO hash exchanges (any Exchange here would shuffle
+    the corpus to compute per-row arithmetic) and the bounds cross-join a
+    BroadcastNestedLoopJoin."""
+    plan = _plan(QUERIES["zorder_layout_events"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("events.parquet") == 2  # key map + bounds probe

@@ -866,11 +866,15 @@ def bigram_lm_score(
         .agg(F.count_distinct("__u").alias("__v"))
     )
     bgc = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c"))
-    ctx = bgc.groupBy(F.split(F.col("__bg"), " ")[0].alias("__prev")).agg(
-        F.sum("__c").alias("__cc")
-    )
+    # context totals c(prev,·) as a window over the vocab²-bounded count
+    # table — NOT a groupBy + self-join, which would consume bgc twice and
+    # re-run the corpus explode+count per consumer (measured: documents
+    # scanned 4× per query; this shape scans it 3× with no checkpoint
+    # serialization). The window partitions on prev, so it is one
+    # vocab-scale shuffle replacing the join pair's two.
+    wctx = Window.partitionBy(F.split(F.col("__bg"), " ")[0])
     cond = (
-        bgc.join(ctx, F.split(bgc["__bg"], " ")[0] == ctx["__prev"])
+        bgc.withColumn("__cc", F.sum("__c").over(wctx))
         .crossJoin(F.broadcast(vocab))
         .select(
             "__bg",
