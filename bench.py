@@ -134,6 +134,7 @@ EXTENDED = [
     "quality_bigram_lm",
     "streaming_interval_join",
     "zorder_layout_events",
+    "decontaminate_span_depth",
 ]
 
 

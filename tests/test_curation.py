@@ -636,3 +636,67 @@ def test_bigram_lm_score_single_token_docs_absent(spark):
     )
     out = {r.doc_id: r for r in cu.bigram_lm_score(docs).collect()}
     assert 1 not in out and out[2].n_bigrams == 1
+
+
+def test_decontaminate_span_depth_contiguous_vs_scattered(spark):
+    """Severity separates a verbatim quote from scattered hits: a train
+    doc sharing a 5-token substring with the eval doc reports
+    max_overlap_tokens == 5 (island of 3 3-gram starts), while a doc whose
+    hits are non-adjacent reports k == 3; clean docs report 0 but keep
+    their row."""
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),        # eval candidate
+        (2, "intro words alpha beta gamma delta epsilon tail end"),
+        (3, "alpha beta gamma filler filler delta epsilon zeta padpad"),
+        (4, "totally unrelated clean words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # find a bucket assignment where doc 1 is eval and the rest are train:
+    # rather than search salts, force the split by id remap
+    b = {
+        r.doc_id: r.b
+        for r in docs.select("doc_id", md5_bucket("doc_id", salt="decon|").alias("b")).collect()
+    }
+    eval_pct = 5
+    if not (b[1] < eval_pct <= min(b[2], b[3], b[4])):
+        # remap ids deterministically so doc 1 lands in the eval bucket
+        # and the others don't (scan a small id space once)
+        pool_eval = [i for i in range(1, 500) if _bucket_of(spark, i) < eval_pct]
+        pool_train = [i for i in range(1, 500) if _bucket_of(spark, i) >= eval_pct]
+        remap = {1: pool_eval[0], 2: pool_train[0], 3: pool_train[1], 4: pool_train[2]}
+        rows = [(remap[i], t) for i, t in rows]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+    else:
+        remap = {i: i for i, _ in rows}
+
+    out = {
+        r.doc_id: r
+        for r in cu.decontaminate_span_depth(docs, eval_pct=eval_pct, k=3).collect()
+    }
+    assert remap[1] not in out  # eval doc not scored
+    # doc 2 shares "alpha beta gamma delta epsilon" → 3 consecutive
+    # 3-gram starts → 3 + 3 - 1 = 5 verbatim tokens, one island
+    assert out[remap[2]].max_overlap_tokens == 5
+    assert out[remap[2]].n_contam_islands == 1
+    # doc 3 has two separated single-shingle hits → depth k, two islands
+    assert out[remap[3]].max_overlap_tokens == 3
+    assert out[remap[3]].n_contam_islands == 2
+    # clean doc: row kept, zeros
+    assert out[remap[4]].max_overlap_tokens == 0
+    assert out[remap[4]].n_contam_islands == 0
+
+
+_BUCKET_CACHE = {}
+
+
+def _bucket_of(spark, i):
+    if not _BUCKET_CACHE:
+        from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+        df = spark.range(1, 500).select(
+            F.col("id"), md5_bucket("id", salt="decon|").alias("b")
+        )
+        _BUCKET_CACHE.update({r.id: r.b for r in df.collect()})
+    return _BUCKET_CACHE[i]

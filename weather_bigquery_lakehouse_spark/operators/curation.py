@@ -120,6 +120,70 @@ def decontaminate_ngram_overlap(
     )
 
 
+def decontaminate_span_depth(
+    docs: DataFrame,
+    eval_pct: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contamination SEVERITY — the signal the overlap fraction can't
+    give: 13 scattered shingle hits and one verbatim 15-token quote score
+    the same ``contam_frac``, but only the quote is an exact-substring
+    leak (the GPT-3-era rule gates on contiguous overlap length). Per
+    training doc: positional shingles, eval-set membership, then
+    gaps-and-islands over the hit positions — a maximal island of ``m``
+    consecutive contaminated k-gram starts is a verbatim shared substring
+    of ``m + k − 1`` tokens.
+
+    Scale shape: the same broadcast eval-set semi-join as
+    ``decontaminate_ngram_overlap`` (real eval suites are MB-scale; the
+    training side streams once); the island detection is a per-doc window
+    over HIT positions only — bounded by each doc's own contaminated
+    spans, not the corpus. Zero-hit docs keep a row
+    (``max_overlap_tokens`` = 0) via the left join onto the span
+    accounting.
+    """
+    bucket = md5_bucket(id_col, salt="decon|")
+    spread = docs.where(F.col(text_col).isNotNull()).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
+        F.col(id_col), bucket.alias("__b"), tokens_expr(text_col).alias("__t")
+    )
+    # positional (non-distinct) spans; checkpointed once for its three
+    # consumers (eval set, span accounting, hit stream) — the flags op's
+    # shape with posexplode instead of array_distinct+explode
+    sh = toks.select(
+        F.col(id_col),
+        F.col("__b"),
+        F.posexplode(shingles_expr(F.col("__t"), k)).alias("__pos", "shingle"),
+    ).localCheckpoint(eager=True)
+    eval_shingles = sh.where(F.col("__b") < eval_pct).select("shingle").distinct()
+    train = sh.where(F.col("__b") >= eval_pct)
+    per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = train.join(F.broadcast(eval_shingles), "shingle").select(
+        F.col(id_col), F.col("__pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        hits.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    mx = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_islands"), F.max("__run").alias("__max_run")
+    )
+    return per_doc.join(mx, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("__n_islands"), F.lit(0)).cast("bigint")
+        .alias("n_contam_islands"),
+        F.coalesce(F.col("__max_run") + F.lit(k - 1), F.lit(0)).cast("bigint")
+        .alias("max_overlap_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -1606,3 +1606,54 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zcell"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination span depth (exact-substring severity)
+# --------------------------------------------------------------------------
+
+_SQL_SPAN_DEPTH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_DUCK_BUCKET.format(key="'decon|' || CAST(doc_id AS VARCHAR)", mod=100)} AS b,
+         {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id, b, i - 1 AS pos, {_scrub_gram_sql(3)} AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE b < {_DECON_EVAL_PCT}),
+tr AS (SELECT doc_id, pos, shingle FROM sh WHERE b >= {_DECON_EVAL_PCT}),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM tr GROUP BY doc_id),
+hit AS (SELECT tr.doc_id, tr.pos FROM tr JOIN ev USING (shingle)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hit
+),
+runs AS (SELECT doc_id, grp, COUNT(*) AS r FROM isl GROUP BY doc_id, grp),
+mx AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands, MAX(r) AS max_run
+  FROM runs GROUP BY doc_id
+)
+SELECT per.doc_id, per.n_spans,
+       CAST(COALESCE(mx.n_islands, 0) AS BIGINT) AS n_contam_islands,
+       CAST(COALESCE(mx.max_run + 2, 0) AS BIGINT) AS max_overlap_tokens
+FROM per LEFT JOIN mx USING (doc_id)
+"""
+
+
+@_register(
+    "decontaminate_span_depth",
+    _SQL_SPAN_DEPTH,
+    "contamination SEVERITY (exact-substring signal): gaps-and-islands "
+    "over positionally-exploded contaminated shingles — a maximal island "
+    "of m consecutive k-gram starts is a verbatim m+k-1-token shared "
+    "substring; same broadcast eval-set semi-join as the overlap-fraction "
+    "op, island window bounded by each doc's own hits",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def decontaminate_span_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.decontaminate_span_depth(docs, eval_pct=_DECON_EVAL_PCT, k=3)
