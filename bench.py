@@ -135,6 +135,7 @@ EXTENDED = [
     "streaming_interval_join",
     "zorder_layout_events",
     "decontaminate_span_depth",
+    "streaming_enrich_static",
 ]
 
 

@@ -596,3 +596,49 @@ def test_interval_join_stream_matches_and_drops_late(spark, tmp_path):
         (1, "2024-01-01 11:30:00"),
         (6, "2024-01-01 19:30:00"),
     }
+
+
+def test_enrich_stream_picks_up_dim_updates_between_runs(spark, tmp_path):
+    """Stream-static contract: the dim is re-read per run/batch, so rows
+    processed after a dim update carry the NEW attributes while already-
+    emitted rows are immutable — the streaming twin of a type-1 lookup."""
+    import pandas as pd
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import run_enrich_stream
+
+    zone = tmp_path / "en_zone"
+    zone.mkdir()
+    cdir, ndir = str(tmp_path / "cust"), str(tmp_path / "nat")
+    ckpt, sink = str(tmp_path / "en_ckpt"), str(tmp_path / "en_sink")
+
+    def evfile(name, eid):
+        spark.createDataFrame(
+            [(eid, int(pd.Timestamp("2024-01-01 10:00:00").value), 1, "click", 1.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(str(zone / name))
+
+    def dims(cname):
+        spark.createDataFrame(
+            [(1, cname, 0)], "c_custkey long, c_name string, c_nationkey long"
+        ).write.mode("overwrite").parquet(cdir)
+        spark.createDataFrame(
+            [(0, "ARGENTINA")], "n_nationkey long, n_name string"
+        ).write.mode("overwrite").parquet(ndir)
+
+    evfile("f1", 100)
+    dims("Alice")
+    out1 = run_enrich_stream(
+        spark, str(zone) + "/*", cdir, ndir, checkpoint_dir=ckpt, output_dir=sink
+    )
+    assert {(r.event_id, r.c_name) for r in out1.collect()} == {(100, "Alice")}
+
+    evfile("f2", 200)
+    dims("Alicia")  # type-1 dim update between runs
+    out2 = run_enrich_stream(
+        spark, str(zone) + "/*", cdir, ndir, checkpoint_dir=ckpt, output_dir=sink
+    )
+    assert {(r.event_id, r.c_name) for r in out2.collect()} == {
+        (100, "Alice"),   # already-emitted row immutable
+        (200, "Alicia"),  # new batch sees the updated dim
+    }

@@ -1657,3 +1657,39 @@ FROM per LEFT JOIN mx USING (doc_id)
 def decontaminate_span_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
     return cu.decontaminate_span_depth(docs, eval_pct=_DECON_EVAL_PCT, k=3)
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join (the third streaming join family)
+# --------------------------------------------------------------------------
+
+_SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, c.c_name,
+       n.n_name AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@_register(
+    "streaming_enrich_static",
+    _SQL_STREAM_ENRICH,
+    "stream-static enrichment join: events stream once, the MB-scale "
+    "customer→nation dims re-read and broadcast per micro-batch (a dim "
+    "update between batches is picked up; NO join state — the static side "
+    "is complete by definition); finite replay ≡ the batch snowflake "
+    "join, which is the oracle",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest import run_enrich_stream
+
+    return run_enrich_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(sf_dir, "nation.parquet"),
+    )

@@ -287,6 +287,62 @@ def run_watermarked_rollup_stream(
     ).parquet(output)
 
 
+def run_enrich_stream(
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+    nation_path: str,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join — the third Structured Streaming join
+    family next to stream-stream (``run_interval_join_stream``) and
+    stateful aggregation: each event is decorated with its customer and
+    nation attributes from STATIC dimension tables.
+
+    Stream-static joins keep NO join state: the static side is complete
+    by definition, so every micro-batch plans a fresh broadcast of the
+    dims into the stream's plan (and re-reads them — a dim updated
+    between batches is picked up, the streaming twin of a slowly-changing
+    lookup). That is why this is the 100 TB-default enrichment shape: the
+    firehose streams once, the MB-scale dims ride along as broadcasts,
+    and nothing accumulates. On a finite replay the output equals the
+    batch snowflake join, which is the oracle.
+    """
+    checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
+    output = output_dir or _scratch("wbl_stream_enrich_")
+    schema = events_schema(spark, events_path)  # footer peek before dir-wrap
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_as_stream_dir(events_path))
+    )
+    customer = spark.read.parquet(customer_path).select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")
+    )
+    nation = spark.read.parquet(nation_path).select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    enriched = (
+        stream.join(
+            F.broadcast(customer), stream["user_id"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("event_id", "user_id", "ts", "event_type", "value", "c_name", "nation")
+    )
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, ts timestamp_ntz, event_type string, "
+        "value double, c_name string, nation string"
+    ).parquet(output)
+
+
 def run_interval_join_stream(
     spark: SparkSession,
     events_path: str,
