@@ -737,3 +737,72 @@ def test_write_zordered_narrows_both_dimensions(spark, sf_dir, tmp_path):
     assert mean_span(zdir, "ts_us") < 0.45
     # and the z layout's user span beats the ts-sorted layout's by far
     assert mean_span(zdir, "user_id") < mean_span(tdir, "user_id") / 2
+
+
+def test_versioned_swap_time_travel_and_expiry(spark, tmp_path):
+    """Snapshot retention on the swap protocol: each commit archives the
+    displaced snapshot as an immutable version; read_snapshot time-travels
+    to any retained version; expiry prunes oldest-first and version ids
+    stay monotone even after full expiry (SEQ persistence)."""
+    from weather_bigquery_lakehouse_spark.io.maintenance import (
+        commit_versioned_swap,
+        expire_snapshots,
+        list_snapshots,
+        read_snapshot,
+    )
+
+    zone = str(tmp_path / "gold")
+
+    def land(vals):
+        spark.createDataFrame([(v,) for v in vals], "x long").coalesce(1).write.parquet(
+            zone + ".next"
+        )
+        return commit_versioned_swap(zone)
+
+    assert land([1]) == 1  # first commit: nothing displaced, still v1 id
+    assert land([1, 2]) == 2
+    assert land([1, 2, 3]) == 3
+    # current = third landing; v1/v2 archive the first two
+    assert {r.x for r in read_snapshot(spark, zone).collect()} == {1, 2, 3}
+    assert {r.x for r in read_snapshot(spark, zone, 2).collect()} == {1}
+    assert {r.x for r in read_snapshot(spark, zone, 3).collect()} == {1, 2}
+    assert list_snapshots(zone) == [2, 3]
+
+    assert expire_snapshots(zone, keep=1) == [2]
+    assert list_snapshots(zone) == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        read_snapshot(spark, zone, 2)
+
+    # full expiry must not recycle ids
+    expire_snapshots(zone, keep=0)
+    assert land([9]) == 4
+    assert list_snapshots(zone) == [4]  # the displaced third landing
+
+
+def test_versioned_swap_crash_window_recovers_with_archive_intact(spark, tmp_path):
+    """A crash between archive and promote leaves path missing + .next
+    complete — recover_swap's promoted_next state; the displaced snapshot
+    is already safe in the archive (the reason archiving happens FIRST)."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import (
+        _versions_dir,
+        commit_versioned_swap,
+        list_snapshots,
+        read_snapshot,
+        recover_swap,
+    )
+
+    zone = str(tmp_path / "gold")
+    spark.createDataFrame([(1,)], "x long").coalesce(1).write.parquet(zone + ".next")
+    commit_versioned_swap(zone)
+    spark.createDataFrame([(2,)], "x long").coalesce(1).write.parquet(zone + ".next")
+    # simulate the crash: archive happened, promote did not
+    vdir = _versions_dir(zone)
+    os.makedirs(vdir, exist_ok=True)
+    os.rename(zone, os.path.join(vdir, "v000099"))
+    assert recover_swap(zone) == "promoted_next"
+    assert {r.x for r in read_snapshot(spark, zone).collect()} == {2}
+    assert 99 in list_snapshots(zone)  # archived copy survived recovery

@@ -80,6 +80,94 @@ def commit_swap(path: str) -> None:
         shutil.rmtree(old)
 
 
+def _versions_dir(path: str) -> str:
+    return path.rstrip("/") + "._versions"
+
+
+def list_snapshots(path: str) -> list[int]:
+    """Version numbers currently retained for ``path``, oldest first."""
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(vdir) if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def commit_versioned_swap(path: str, keep: int | None = None) -> int:
+    """``commit_swap`` with time travel: the replaced snapshot is archived
+    as an immutable version instead of deleted — Delta/Iceberg snapshot
+    retention reduced to its filesystem core (on an object store this
+    step IS the table format's commit; locally it is two renames).
+
+    Ordering is archive-FIRST: rename ``path`` into the versions dir,
+    THEN promote ``path + '.next'``. A crash between the two leaves
+    ``path`` missing with ``.next`` complete — exactly the state
+    :func:`recover_swap` already repairs by promotion, and the displaced
+    snapshot is ALREADY safe in the archive (the ``.old``-based ordering
+    would instead let recovery delete the only archive candidate).
+
+    Version numbers are monotone across expiry: a ``SEQ`` file persists
+    the last assigned number (written temp + rename), so expiring every
+    snapshot can never recycle a version id. Returns the new current's
+    version number; ``keep`` bounds retention (oldest pruned first).
+
+    The versions dir is a SIBLING (``<path>._versions``) — outside the
+    zone, so readers of ``path`` never list it, and zone maintenance
+    skips non-zone paths by construction.
+    """
+    path = path.rstrip("/")
+    nxt = path + ".next"
+    if not os.path.isdir(nxt):
+        raise ValueError(f"{nxt} missing — write the new snapshot first")
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    seq_file = os.path.join(vdir, "SEQ")
+    last = 0
+    if os.path.isfile(seq_file):
+        with open(seq_file) as fh:
+            last = int(fh.read().strip() or 0)
+    existing = list_snapshots(path)
+    version = max([last] + existing) + 1
+    tmp = seq_file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, seq_file)
+    if os.path.isdir(path):
+        os.rename(path, os.path.join(vdir, f"v{version:06d}"))
+    os.rename(nxt, path)
+    if keep is not None:
+        expire_snapshots(path, keep)
+    return version
+
+
+def expire_snapshots(path: str, keep: int) -> list[int]:
+    """Drop the oldest archived versions beyond ``keep``; returns the
+    expired version numbers. Never touches the current snapshot."""
+    if keep < 0:
+        raise ValueError("keep must be >= 0")
+    versions = list_snapshots(path)
+    drop = versions[: max(0, len(versions) - keep)]
+    vdir = _versions_dir(path)
+    for v in drop:
+        shutil.rmtree(os.path.join(vdir, f"v{v:06d}"))
+    return drop
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
+    """Read ``path`` as of ``version`` (None → current). Raises if the
+    requested version was expired or never existed."""
+    if version is None:
+        return spark.read.parquet(path.rstrip("/"))
+    vpath = os.path.join(_versions_dir(path), f"v{version:06d}")
+    if not os.path.isdir(vpath):
+        raise ValueError(
+            f"snapshot v{version} of {path!r} is not retained "
+            f"(have: {list_snapshots(path)})"
+        )
+    return spark.read.parquet(vpath)
+
+
 def _list_files(path: str, suffix: str = ".parquet") -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
