@@ -295,3 +295,105 @@ def test_chunk_documents_matches_reference(spark, case):
         for r in chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
     )
     assert got == _ref_chunks(tokens, chunk, stride)
+
+
+# --------------------------------------------------------------------------
+# z-order quantize / interleave (pure SQL templates → DuckDB examples are
+# cheap, no Spark job per case; Spark-dialect parity is the oracle gate's)
+# --------------------------------------------------------------------------
+
+_zvals = st.lists(st.integers(-(10**15), 10**15), min_size=1, max_size=40)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_zvals, st.sampled_from([4, 8, 16]))
+def test_zorder_quantize_bounds_and_monotone(vals, bits):
+    import duckdb
+
+    from weather_bigquery_lakehouse_spark.operators.layout import quantize_sql
+
+    lo, hi = min(vals), max(vals)
+    expr = quantize_sql("x", str(lo), str(hi), bits, "//")
+    rows = duckdb.sql(
+        f"SELECT x, {expr} AS q FROM (SELECT unnest({vals!r}) AS x) ORDER BY x"
+    ).fetchall()
+    qs = [q for _, q in rows]
+    assert all(0 <= q < (1 << bits) for q in qs)
+    assert qs == sorted(qs)  # monotone in x
+    # extremes map to the ends' buckets: min → 0 always
+    assert rows[0][1] == 0
+
+
+def _py_interleave(qa: int, qb: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((qa >> b) & 1) << (2 * b)
+        z |= ((qb >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, (1 << 16) - 1),
+    st.integers(0, (1 << 16) - 1),
+    st.sampled_from([4, 8, 16]),
+)
+def test_zorder_interleave_matches_bit_reference(qa, qb, bits):
+    import duckdb
+
+    from weather_bigquery_lakehouse_spark.operators.layout import interleave_sql
+
+    qa, qb = qa % (1 << bits), qb % (1 << bits)
+    got = duckdb.sql(
+        f"SELECT {interleave_sql(str(qa), str(qb), bits, '//')} AS z"
+    ).fetchone()[0]
+    assert got == _py_interleave(qa, qb, bits)
+    # bijective: both operands recoverable from the key
+    back_a = sum(((got >> (2 * b)) & 1) << b for b in range(bits))
+    back_b = sum(((got >> (2 * b + 1)) & 1) << b for b in range(bits))
+    assert (back_a, back_b) == (qa, qb)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 20), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(0, 120),
+)
+def test_token_budget_sample_matches_prefix_reference(spark, rows, budget_a):
+    """Kept set == the md5-order prefix whose inclusive token cumsum fits
+    the domain budget — checked against a trivially-correct reference."""
+    import hashlib
+
+    from weather_bigquery_lakehouse_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * n, s) for i, n, s in rows],  # n=0 → "" (0 tokens), not NULL
+        "doc_id long, text string, source string",
+    )
+    budgets = {"a": budget_a, "b": 10_000}
+    out = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_sample(docs, budgets, seed="p").collect()
+    }
+
+    expect = {}
+    for src, cap in budgets.items():
+        cum = 0
+        pool = [
+            (hashlib.md5(f"p|{i}".encode()).hexdigest(), i, n)
+            for i, n, s in rows
+            if s == src
+        ]
+        for _, i, n in sorted(pool):
+            if cum + n > cap:
+                break
+            cum += n
+            expect[i] = cum
+    assert out == expect
