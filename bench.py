@@ -136,6 +136,7 @@ EXTENDED = [
     "zorder_layout_events",
     "decontaminate_span_depth",
     "streaming_enrich_static",
+    "source_overlap_matrix",
 ]
 
 

@@ -700,3 +700,29 @@ def _bucket_of(spark, i):
         )
         _BUCKET_CACHE.update({r.id: r.b for r in df.collect()})
     return _BUCKET_CACHE[i]
+
+
+def test_source_overlap_matrix_detects_mirror(spark):
+    """A mirrored domain pair scores Jaccard 1.0; disjoint domains have no
+    row; partial overlap computes |∩| / |∪| on distinct shingle sets."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five", "m1"),
+            (2, "one two three four five", "m2"),     # mirror of m1
+            (3, "one two three ending differs here", "p1"),  # shares "one two three"
+            (4, "totally different corpus content words", "q1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in cu.source_overlap_matrix(docs, k=3).collect()
+    }
+    assert out[("m1", "m2")].jaccard == 1.0
+    assert out[("m1", "m2")].shared_shingles == 3  # 5 tokens → 3 3-grams
+    # p1: 4 shingles, m1: 3; shared = 1 ("one two three") → 1/(3+4-1)
+    assert out[("m1", "p1")].shared_shingles == 1
+    assert out[("m1", "p1")].jaccard == round(1 / 6, 6)
+    assert ("m1", "q1") not in out and ("q1", "m1") not in out
+    # ordering contract: source_a < source_b, no self-pairs
+    assert all(a < b for a, b in out)

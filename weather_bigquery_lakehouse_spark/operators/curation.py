@@ -184,6 +184,66 @@ def decontaminate_span_depth(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    k: int = 3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-domain content overlap — the corpus-health matrix that
+    catches mirrors, syndication, and shared boilerplate BETWEEN sources
+    before they double-count in a training mixture: for every source pair,
+    the number of distinct word-``k``-gram shingles both contain and the
+    Jaccard similarity of their shingle sets.
+
+    Pairwise over the BOUNDED domain set, never over documents: the
+    corpus reduces to (shingle, source) distinct rows; each shingle
+    explodes into its |sources-containing-it| ≤ |domains| pairs (domain
+    count is dozens at 100 TB, so the expansion is a small constant);
+    intersections are one combinable count per pair and set sizes one per
+    source, broadcast back onto the ≤ |domains|² result rows.
+    """
+    spread = docs.where(F.col(text_col).isNotNull()).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(F.col(source_col), tokens_expr(text_col).alias("__t"))
+    sh = toks.select(
+        F.col(source_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("__sh"),
+    ).distinct()  # (shingle, source) membership
+    sizes = sh.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{source_col}") < F.col(f"b.{source_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = F.broadcast(sizes.select(F.col(source_col).alias("source_a"), F.col("__n").alias("__na")))
+    sb = F.broadcast(sizes.select(F.col(source_col).alias("source_b"), F.col("__n").alias("__nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_shingles").cast("bigint").alias("shared_shingles"),
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

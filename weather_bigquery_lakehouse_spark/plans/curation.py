@@ -1693,3 +1693,49 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "customer.parquet"),
         os.path.join(sf_dir, "nation.parquet"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-domain overlap matrix (mirror / shared-boilerplate detection)
+# --------------------------------------------------------------------------
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest({_duck_shingles()}) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_shingles
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.shared_shingles,
+       ROUND(CAST(i.shared_shingles AS DOUBLE)
+             / (sa.n + sb.n - i.shared_shingles), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@_register(
+    "source_overlap_matrix",
+    _SQL_SOURCE_OVERLAP,
+    "cross-domain content overlap matrix (mirror/syndication/boilerplate "
+    "detection before domains double-count in a mixture): corpus reduces "
+    "to (shingle, source) distinct membership; pairs explode per shingle "
+    "bounded by the DOMAIN count (dozens at 100 TB), never doc pairs; one "
+    "combinable count per pair + per-source set sizes broadcast onto the "
+    "≤ |domains|² result",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.source_overlap_matrix(docs, k=3)
