@@ -424,6 +424,34 @@ def split_leakage_safe(
     )
 
 
+def span_membership(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc-distinct ``(id, __span)`` word-``k``-gram membership — the
+    shared first stage of the span-repetition family (flags + scrub)."""
+    spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
+    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("__span"),
+    )
+
+
+def hot_spans(membership: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Spans present in ≥ ``min_docs`` distinct docs — C4's removal rule's
+    hot set. Input must be per-doc-distinct, so a plain COUNT(*) is the
+    distinct-doc count (one combinable aggregate keyed on the span). ONE
+    definition shared by ``repeated_span_flags`` and
+    ``repeated_span_scrub``, so the accounting and the transform can never
+    disagree about which spans are hot."""
+    return (
+        membership.groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+
+
 def repeated_span_flags(
     df: DataFrame,
     k: int = 5,
@@ -443,19 +471,8 @@ def repeated_span_flags(
     onto the span stream by key. Work ∝ corpus spans, the same budget a
     C4 pass spends at 100 TB.
     """
-    spread = df.where(F.col(text_col).isNotNull()).repartition(F.col(id_col))
-    toks = spread.select(F.col(id_col), tokens_expr(text_col).alias("__t"))
-    sh = toks.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("__span"),
-    )
-    # per-doc-distinct spans → plain COUNT(*) is the distinct-doc count
-    hot = (
-        sh.groupBy("__span")
-        .agg(F.count(F.lit(1)).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("__span")
-    )
+    sh = span_membership(df, k, text_col, id_col)
+    hot = hot_spans(sh, min_docs)
     per = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     hits = (
         sh.join(hot, "__span")
@@ -517,15 +534,10 @@ def repeated_span_scrub(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col("__t"), k)).alias("__pos", "__span"),
     ).localCheckpoint(eager=True)
-    # per-doc-distinct spans → plain COUNT(*) is the distinct-doc count
-    hot = (
-        sh.select(F.col(id_col), "__span")
-        .distinct()
-        .groupBy("__span")
-        .agg(F.count(F.lit(1)).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("__span")
-    )
+    # the SAME hot-set definition the flags op executes (shared helper) —
+    # membership derived from the positional stream instead of a second
+    # tokenize pass
+    hot = hot_spans(sh.select(F.col(id_col), "__span").distinct(), min_docs)
     # 1-based token indices covered by any hot-span occurrence
     cov = (
         sh.join(hot, "__span")

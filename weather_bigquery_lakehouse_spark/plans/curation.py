@@ -290,6 +290,7 @@ FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
     f"{_SPAN_K}-gram spans occurring in ≥2 distinct docs — global "
     "frequency (one combinable count keyed on the span), no pairwise "
     "stage anywhere",
+    retired=True,  # driver window: subsumed by repeated_span_scrub (calls the SHARED span_membership/hot_spans helpers verbatim; its oracle re-derives the coverage accounting) — late round-6 rotation
 )
 def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1376,9 +1377,9 @@ GROUP BY doc_id
     f"C4-style span REMOVAL: tokens covered by any word-{_SCRUB_K}-gram "
     f"occurring in >= {_SCRUB_MIN_DOCS} distinct docs are dropped and the "
     "survivors re-joined (whitespace-normalized lowercase, the tokenizer's "
-    "canonical form) — global combinable span counts, coverage bounded by "
-    "hot-span hits, per-row array reassembly; no pairwise stage anywhere",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+    "canonical form) — global combinable span counts (the SAME hot_spans "
+    "helper the flags op executes), coverage bounded by hot-span hits, "
+    "per-row array reassembly; no pairwise stage anywhere",
 )
 def repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
