@@ -137,6 +137,7 @@ EXTENDED = [
     "decontaminate_span_depth",
     "streaming_enrich_static",
     "source_overlap_matrix",
+    "similarity_pq_topk",
 ]
 
 

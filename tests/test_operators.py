@@ -582,3 +582,52 @@ def test_feature_hash_embed_forms_agree(spark):
     assert all(
         sum(v) == n for v, n in ((expr[1], 3), (expr[2], 1), (expr[3], 4), (expr[4], 0))
     )
+
+
+def test_pq_adc_exact_when_vectors_are_codewords(spark):
+    """PQ's quantization error vanishes when every corpus vector is
+    composed of codewords: the encode reproduces each vector exactly, so
+    the ADC distance equals the true squared L2 — a deterministic
+    correctness pin on both the encode argmin and the table-sum scoring.
+    Also pins the ranking: nearest codeword-built vector wins rank 1."""
+    import itertools
+
+    from weather_bigquery_lakehouse_spark.operators.similarity import pq_topk
+
+    dim, m, n_codes = 8, 4, 4  # sub = 2
+    # codebook vectors 0..3: constant subvectors [c, c] per subspace
+    base = [[float(c)] * dim for c in range(n_codes)]
+    # vectors 4..7: mix-and-match codeword slices (still exactly encodable)
+    mixes = [
+        [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0],
+        [3.0, 3.0, 2.0, 2.0, 1.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        [2.0, 2.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0],
+    ]
+    vecs = base + mixes
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    probes = emb.where("vec_id >= 4")
+    out = pq_topk(emb, probes, dim=dim, m=m, n_codes=n_codes, k=len(vecs))
+    got = {(r.query_id, r.neighbor_id): r for r in out.collect()}
+
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for q, n in itertools.product(range(4, 8), range(len(vecs))):
+        if q == n:
+            assert (q, n) not in got
+            continue
+        assert got[(q, n)].approx_l2sq == round(l2sq(vecs[q], vecs[n]), 6)
+    # ranking follows true distance (ties broken by neighbor id)
+    for q in range(4, 8):
+        ranked = sorted(
+            (r.rank, r.neighbor_id) for (qq, _), r in got.items() if qq == q
+        )
+        trued = sorted(
+            (round(l2sq(vecs[q], vecs[n]), 6), n)
+            for n in range(len(vecs))
+            if n != q
+        )
+        assert [n for _, n in ranked] == [n for _, n in trued]

@@ -407,3 +407,109 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (ADC) — the memory-bound ANN scale path
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double precision (same
+    left-to-right order as the oracle's list_sum, like ``_dot``)."""
+    diffs = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subspaces(
+    df: DataFrame, id_alias: str, m: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub_id, subvector) rows: each vector split into ``m``
+    contiguous ``sub``-wide slices — one posexplode, no shuffle."""
+    arr = F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+    return df.select(
+        F.col(id_col).alias(id_alias), F.posexplode(arr).alias("sub_id", "__sv")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k with asymmetric distance computation
+    (ADC) — the MEMORY-bound scale path past IVF: the corpus's 4·dim-byte
+    float vectors compress to ``m`` subspace code ids (m bytes at
+    n_codes ≤ 256), and probe↔vector distance is approximated by summing,
+    per subspace, the probe's precomputed distance to the vector's
+    codeword. At 100 TB that is the difference between an index that fits
+    executor memory and one that doesn't: after encoding, scoring never
+    touches a vector again — only the m-byte code array moves.
+
+    Codebooks are deterministic (the subvectors of the first ``n_codes``
+    corpus vectors — the same oracle-checkable stand-in for offline
+    k-means as ``ivf_topk``'s centroids; production trains on a sample
+    and broadcasts, everything downstream unchanged).
+
+    Engine-parity design: per-subspace distances are quantized to integer
+    MICRO-units (``round(l2² · 1e6)`` as BIGINT) BEFORE any aggregation,
+    so the encode argmin and the ADC sum are exact integer operations —
+    order-independent across partial aggregation, bit-identical in the
+    oracle, and the final ranking needs no floating tie-break
+    (``embedding_centroids``' parity trick applied to distances).
+
+    Scale shape: the tiny codebook (m·n_codes rows) broadcasts twice
+    (encode + probe distance tables); the corpus streams ONCE through the
+    encode — corpus×m×n_codes interpreted HOF folds, map-side-combined
+    argmin keyed on (vector, subspace); ADC joins the m-byte codes to the
+    broadcast probe tables and reduces with one combinable integer sum
+    per (probe, vector). No vector ever crosses a shuffle after encode.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = F.broadcast(
+        _subspaces(
+            embeddings.where(F.col(id_col) < n_codes), "code_id", m, sub, id_col, vec_col
+        ).select("sub_id", "code_id", F.col("__sv").alias("__cv"))
+    )
+    dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
+    corpus_codes = (
+        _subspaces(embeddings, "neighbor_id", m, sub, id_col, vec_col)
+        .join(cb, "sub_id")
+        .select("neighbor_id", "sub_id", "code_id", dmicro.alias("__d"))
+        .groupBy("neighbor_id", "sub_id")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
+        .select("neighbor_id", "sub_id", F.col("__best.code_id").alias("code_id"))
+    )
+    dtab = (
+        _subspaces(probes, "query_id", m, sub, id_col, vec_col)
+        .join(cb, "sub_id")
+        .select("query_id", "sub_id", "code_id", dmicro.alias("__d"))
+    )
+    adc = (
+        corpus_codes.join(F.broadcast(dtab), ["sub_id", "code_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d").alias("__sd"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sd").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sd").cast("double") / 1e6, 6).alias("approx_l2sq"),
+            "rank",
+        )
+    )
