@@ -726,3 +726,85 @@ def test_source_overlap_matrix_detects_mirror(spark):
     assert ("m1", "q1") not in out and ("q1", "m1") not in out
     # ordering contract: source_a < source_b, no self-pairs
     assert all(a < b for a, b in out)
+
+
+# --------------------------------------------------------------------------
+# decontaminate_bloom / cms_heavy_hitters (bounded-memory sketches)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_hits_are_superset_of_exact_hits(spark):
+    # One-sided error: the Bloom filter can only ADD hits (false
+    # positives), never miss a truly contaminated shingle. Compare the
+    # exact and bloom variants doc by doc on a real corpus slice.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.doc_id: r for r in cu.decontaminate_ngram_overlap(docs).collect()}
+    bloom = {r.doc_id: r for r in cu.decontaminate_bloom(docs).collect()}
+    assert set(bloom) == set(exact)
+    for i, b in bloom.items():
+        assert b.n_shingles == exact[i].n_shingles
+        assert b.n_bloom_hits >= exact[i].n_contaminated
+
+
+def test_bloom_flags_eval_copy_and_is_deterministic(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        cu.md5_bucket("id", salt="decon|").alias("b"),
+    )
+    buckets = {r.doc_id: r.b for r in df.collect()}
+    eval_id = next(i for i, b in buckets.items() if b < 5)
+    copy_id = next(i for i, b in buckets.items() if b >= 5)
+    fresh_id = next(i for i, b in buckets.items() if b >= 5 and i != copy_id)
+    leaked = "alpha beta gamma delta epsilon zeta"
+    clean = "one two three four five six seven"
+    docs = _docs(
+        spark,
+        [(eval_id, leaked, "en"), (copy_id, leaked, "en"), (fresh_id, clean, "en")],
+    )
+    out = {r.doc_id: r for r in cu.decontaminate_bloom(docs).collect()}
+    out2 = {r.doc_id: r for r in cu.decontaminate_bloom(docs).collect()}
+    assert eval_id not in out  # eval docs are not scored
+    assert out[copy_id].bloom_frac == 1.0  # a verbatim copy always hits
+    # with m=65536 bits and 4 eval shingles the clean doc's 5 shingles
+    # cannot plausibly collide on all 3 probes each
+    assert out[fresh_id].n_bloom_hits == 0
+    assert {i: (r.n_bloom_hits, r.bloom_frac) for i, r in out.items()} == {
+        i: (r.n_bloom_hits, r.bloom_frac) for i, r in out2.items()
+    }
+
+
+def test_cms_estimates_are_one_sided_and_probe_set_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cu.cms_heavy_hitters(docs).collect()
+    assert out, "corpus slice must yield heavy hitters"
+    for r in out:
+        assert r.n_cms_est >= r.n_exact  # CMS never undercounts
+        assert r.overcount == r.n_cms_est - r.n_exact
+    # the probe set is exactly the spans at/above the exact threshold
+    from weather_bigquery_lakehouse_spark.operators.text import (
+        shingles_expr,
+        tokens_expr,
+    )
+
+    el = docs.where(F.col("text").isNotNull()).select(
+        F.explode(shingles_expr(tokens_expr("text"), 3)).alias("e")
+    )
+    counts = {r.e: r.n for r in el.groupBy("e").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    expected = {e for e, n in counts.items() if n * cu.CMS_HH_FRAC >= total}
+    assert {r.span for r in out} == expected
+    assert all(counts[r.span] == r.n_exact for r in out)
+
+
+def test_cms_narrow_sketch_overcounts_but_min_row_tightens(spark):
+    # Force collisions with a tiny width: estimates stay one-sided and a
+    # deeper sketch can only tighten (min over more rows is monotone).
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} filler", "en") for i in range(40)],
+    )
+    wide = {r.span: r.n_cms_est for r in cu.cms_heavy_hitters(docs, d=4, w=8, hh_frac=50).collect()}
+    shallow = {r.span: r.n_cms_est for r in cu.cms_heavy_hitters(docs, d=1, w=8, hh_frac=50).collect()}
+    assert set(wide) == set(shallow)
+    for s, est in wide.items():
+        assert est <= shallow[s]

@@ -219,3 +219,32 @@ def test_zorder_key_is_broadcast_bounds_with_zero_exchanges(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("events.parquet") == 2  # key map + bounds probe
+
+
+def test_bloom_filter_positions_broadcast_and_no_join_shuffle(spark, sf_dir):
+    """Both joins keyed on sketch state must broadcast: the <= m-row Bloom
+    position set onto the candidate probes, and the hit-shingle set back
+    onto the training stream via the shingle key the train side already
+    shuffled on — an SMJ on either would re-shuffle the corpus-scale side
+    to attach constant-size state."""
+    plan = _plan(QUERIES["decontaminate_bloom"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    bad = [
+        l
+        for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l) and "pos" in l
+    ]
+    assert not bad, "bloom position join shuffled:\n" + "\n".join(bad)
+
+
+def test_cms_cells_broadcast_and_sketch_build_combines_map_side(spark, sf_dir):
+    """The d×w cell grid (constant-size) must broadcast onto the probe
+    side, and the sketch build must partial-aggregate before its exchange
+    (map-side combine is what makes the build's shuffle d*w-bounded per
+    task instead of corpus-sized)."""
+    plan = _plan(QUERIES["cms_heavy_hitters"].fn(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan
+    # the (r, b) cell aggregate appears as partial + final HashAggregate
+    # pair around its exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan

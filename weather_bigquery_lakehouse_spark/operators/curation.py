@@ -62,22 +62,20 @@ def md5_bucket(col: Column | str, salt: str = "", mod: int = 100) -> Column:
 # --------------------------------------------------------------------------
 
 
-def decontaminate_ngram_overlap(
+def _eval_train_shingles(
     docs: DataFrame,
-    eval_pct: int = 5,
-    k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Flag training documents whose word-``k``-gram shingles overlap an
-    eval holdout, the standard train/test decontamination pass.
+    eval_pct: int,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared decontamination front end: deterministic md5-bucket
+    eval/train split over per-doc DISTINCT word-``k``-gram shingles.
 
-    The eval subset is a deterministic md5-bucket slice (``bucket <
-    eval_pct``); its *distinct shingle set* is what joins against the
-    training side. At 100 TB the training side dominates and streams
-    through one shuffle-free semi-join: real eval suites are MB-scale, so
-    the distinct eval shingles are broadcast. Output is one row per
-    training doc with its contaminated-shingle fraction.
+    Returns ``(eval_shingles, train)`` where ``eval_shingles`` is the
+    holdout's distinct shingle set and ``train`` is the exploded
+    ``(id, shingle)`` stream of the training side — one checkpointed
+    shingle derivation feeds both consumers.
     """
     bucket = md5_bucket(id_col, salt="decon|")
     # Hash-repartition by doc BEFORE the CPU-bound tokenize/shingle stage:
@@ -104,7 +102,30 @@ def decontaminate_ngram_overlap(
         F.explode(F.array_distinct(shingles_expr(F.col("__t"), k))).alias("shingle"),
     ).localCheckpoint(eager=True)
     eval_shingles = ex.where(F.col("__b") < eval_pct).select("shingle").distinct()
-    train = ex.where(F.col("__b") >= eval_pct)
+    train = ex.where(F.col("__b") >= eval_pct).select(id_col, "shingle")
+    return eval_shingles, train
+
+
+def decontaminate_ngram_overlap(
+    docs: DataFrame,
+    eval_pct: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents whose word-``k``-gram shingles overlap an
+    eval holdout, the standard train/test decontamination pass.
+
+    The eval subset is a deterministic md5-bucket slice (``bucket <
+    eval_pct``); its *distinct shingle set* is what joins against the
+    training side. At 100 TB the training side dominates and streams
+    through one shuffle-free semi-join: real eval suites are MB-scale, so
+    the distinct eval shingles are broadcast. Output is one row per
+    training doc with its contaminated-shingle fraction. (For eval sets
+    too large to broadcast verbatim, ``decontaminate_bloom`` is the
+    constant-memory variant.)
+    """
+    eval_shingles, train = _eval_train_shingles(docs, eval_pct, k, id_col, text_col)
     per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     contaminated = (
         train.join(F.broadcast(eval_shingles), "shingle")
@@ -1141,4 +1162,185 @@ def gopher_quality_flags(
         F.round(stop, 6).alias("top_unigram_frac"),
         *[v.cast("int").alias(k) for k, v in flags.items()],
         passes.cast("int").alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded-memory sketches: Bloom-filter decontamination and count-min
+# heavy hitters. Both collapse a data-proportional structure (an eval
+# shingle set / the corpus vocabulary) into a constant-size frame that is
+# safe to broadcast at any corpus scale, with hash arithmetic shared with
+# md5_bucket so every engine reproduces the sketch bit-identically.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # Bloom filter width in bits
+BLOOM_J = 3  # hash probes per element
+
+CMS_D = 4  # count-min sketch depth (independent hash rows)
+CMS_W = 2048  # count-min sketch width (buckets per row)
+CMS_HH_FRAC = 5000  # heavy hitter: span with >= 1/5000 of all occurrences
+
+
+def sketch_hash(value: Column, salt: str, mod: int) -> Column:
+    """Deterministic uniform hash in ``[0, mod)``: first 60 md5 bits of
+    ``salt || value`` — the same conv/substr arithmetic as ``md5_bucket``,
+    salted per hash function so Bloom probes / sketch rows are pairwise
+    independent. Oracles mirror it as
+    ``CAST(CONCAT('0x', SUBSTR(md5(salt || v), 1, 15)) AS BIGINT) % mod``.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), value)), 1, 15), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_pct: int = 5,
+    k: int = 3,
+    m: int = BLOOM_M,
+    j: int = BLOOM_J,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the constant-memory scale path.
+
+    ``decontaminate_ngram_overlap`` broadcasts the eval set's distinct
+    shingle STRINGS; fine for MB-scale benchmark suites, but a large
+    held-out corpus (or the union of many eval suites) makes that
+    broadcast data-proportional. Here the eval shingles fold into an
+    ``m``-bit Bloom filter (``j`` salted md5 probes per shingle): the
+    broadcast is bounded by ``m`` bits regardless of eval size, membership
+    is ``j`` integer probes, and the false-positive rate is the classical
+    ``(1 - e^(-j*n/m))^j`` — acceptable for decontamination, where a false
+    positive drops a clean training doc but an eval doc can never leak
+    through.
+
+    Determinism: the probe hashes are salted md5 arithmetic, so the filter
+    — and therefore every false positive — is bit-identical across
+    engines; the DuckDB oracle rebuilds the same filter and the hit sets
+    match exactly. Per-shingle probe positions are de-duplicated before
+    the all-probes-set test so a ``j``-way hash self-collision cannot
+    miscount.
+
+    Scale shape: one vocabulary-sized distinct on the training shingles,
+    one broadcast join against the <= ``m``-row position set, then
+    combinable per-doc aggregates; nothing data-proportional is ever
+    broadcast or collected.
+    """
+    eval_shingles, train = _eval_train_shingles(docs, eval_pct, k, id_col, text_col)
+    pos = [sketch_hash(F.col("shingle"), f"bloom{i}|", m) for i in range(j)]
+    bloom = eval_shingles.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    cand = (
+        train.select("shingle")
+        .distinct()
+        .select("shingle", F.array_distinct(F.array(*pos)).alias("__pos"))
+    )
+    probes = cand.select(
+        "shingle", F.size("__pos").alias("__n_pos"), F.explode("__pos").alias("pos")
+    )
+    hit_shingles = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("shingle", "__n_pos")
+        .agg(F.count(F.lit(1)).alias("__n_set"))
+        .where(F.col("__n_set") == F.col("__n_pos"))
+        .select("shingle")
+    )
+    per_doc = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(hit_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    n_hit = F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint")
+    return per_doc.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        n_hit.alias("n_bloom_hits"),
+        F.round(n_hit.cast("double") / F.col("n_shingles"), 6).alias("bloom_frac"),
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    hh_frac: int = CMS_HH_FRAC,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus span stream:
+    estimate word-``k``-gram frequencies from a ``d``×``w`` integer sketch
+    and report every span whose EXACT share of the stream is
+    >= ``1/hh_frac``, sketch estimate beside the exact count
+    (``k=1`` sketches single tokens).
+
+    This is the constant-memory front end the repeated-span family needs
+    at 100 TB: ``hot_spans`` does an exact combinable count keyed on the
+    span — correct, but the aggregate's key space is the corpus's span
+    vocabulary. The CMS folds raw occurrences into ``d*w`` cells through a
+    combinable count keyed on ``(row, bucket)`` — map-side partial
+    aggregation collapses each task's contribution to <= ``d*w`` rows no
+    matter how large the corpus, and the finished sketch is a
+    constant-size broadcast that screens hot-span CANDIDATES before the
+    exact pass touches only those.
+
+    The exact-count side here selects the probe set and verifies the
+    sketch's one-sided error (``est >= exact`` always; overcount
+    <= ``e*N/w`` with probability ``1 - e^-d``). Integer-exact throughout
+    — counts, min-of-sums, and the threshold as a cross-multiplication
+    (``n * hh_frac >= total``, no division) — so the result is
+    bit-identical to the SQL twin, false collisions included.
+    """
+
+    def rows_for(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), sketch_hash(col, f"cms{r}|", w).alias("b")
+                )
+                for r in range(d)
+            ]
+        )
+
+    base = docs.where(F.col(text_col).isNotNull())
+    if k <= 1:
+        el = base.select(F.explode(tokens_expr(text_col)).alias("__e"))
+    else:
+        # Same two-projection shape as _eval_train_shingles (materialize
+        # the token array first — inlining the tokenizer into the shingle
+        # lambda re-runs the regex split per array index), but occurrences
+        # are kept: a frequency sketch counts the raw stream, not per-doc
+        # distinct membership.
+        spread = base.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        ).select(tokens_expr(text_col).alias("__t"))
+        el = spread.select(
+            F.explode(shingles_expr(F.col("__t"), k)).alias("__e")
+        )
+    cells = (
+        el.select(F.explode(rows_for(F.col("__e"))).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    counts = el.groupBy("__e").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = counts.agg(F.sum("n_exact").alias("__total"))
+    probes = counts.crossJoin(F.broadcast(total)).where(
+        F.col("n_exact") * hh_frac >= F.col("__total")
+    )
+    est = (
+        probes.select("__e", "n_exact", F.explode(rows_for(F.col("__e"))).alias("rb"))
+        .join(
+            F.broadcast(cells),
+            (F.col("rb.r") == F.col("r")) & (F.col("rb.b") == F.col("b")),
+        )
+        .groupBy("__e", "n_exact")
+        .agg(F.min("cell").alias("__est"))
+    )
+    return est.select(
+        F.col("__e").alias("span"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("__est").cast("bigint").alias("n_cms_est"),
+        (F.col("__est") - F.col("n_exact")).cast("bigint").alias("overcount"),
     )

@@ -1740,3 +1740,129 @@ JOIN sizes sb ON sb.source = i.source_b
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
     return cu.source_overlap_matrix(docs, k=3)
+
+
+# --------------------------------------------------------------------------
+# Bounded-memory sketches: Bloom-filter decontamination + count-min
+# heavy hitters (operators/curation.py sketch family)
+# --------------------------------------------------------------------------
+
+def _duck_sketch_hash(value: str, salt: str, mod: int) -> str:
+    """DuckDB twin of operators/curation.sketch_hash (salted md5 → 60-bit
+    int → mod) — generated from the same salt/mod constants as the Spark
+    side so the two sketches cannot drift."""
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(md5('{salt}' || {value}), 1, 15)) "
+        f"AS BIGINT) % {mod}"
+    )
+
+
+def _bloom_sql() -> str:
+    hs = [
+        _duck_sketch_hash("shingle", f"bloom{i}|", cu.BLOOM_M)
+        for i in range(cu.BLOOM_J)
+    ]
+    probe_list = "[" + ", ".join(hs) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_DUCK_BUCKET.format(key="'decon|' || CAST(doc_id AS VARCHAR)", mod=100)} AS b,
+         {_DUCK_TOKENS} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, b, shingle FROM (
+    SELECT doc_id, b, unnest({_duck_shingles()}) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE b < {_DECON_EVAL_PCT}),
+bloom AS (
+  SELECT DISTINCT pos FROM (SELECT unnest({probe_list}) AS pos FROM ev)
+),
+tr AS (SELECT doc_id, shingle FROM sh WHERE b >= {_DECON_EVAL_PCT}),
+cand AS (
+  SELECT shingle, list_distinct({probe_list}) AS ps
+  FROM (SELECT DISTINCT shingle FROM tr)
+),
+pr AS (SELECT shingle, len(ps) AS n_pos, unnest(ps) AS pos FROM cand),
+hitsh AS (
+  SELECT shingle FROM pr JOIN bloom USING (pos)
+  GROUP BY shingle, n_pos HAVING COUNT(*) = n_pos
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id
+),
+hit AS (
+  SELECT tr.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tr JOIN hitsh USING (shingle) GROUP BY tr.doc_id
+)
+SELECT per.doc_id, per.n_shingles,
+       CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_bloom_hits,
+       ROUND(CAST(COALESCE(hit.n, 0) AS DOUBLE) / per.n_shingles, 6) AS bloom_frac
+FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
+"""
+
+
+@_register(
+    "decontaminate_bloom",
+    _bloom_sql(),
+    "Bloom-filter decontamination — the constant-memory twin of "
+    "decontaminate_ngram_overlap: eval shingles fold into a fixed "
+    f"{cu.BLOOM_M}-bit / {cu.BLOOM_J}-probe filter whose broadcast size is "
+    "independent of eval-set scale; deterministic salted-md5 probes make "
+    "every false positive bit-identical across engines (the oracle "
+    "rebuilds the same filter)",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.decontaminate_bloom(docs, eval_pct=_DECON_EVAL_PCT)
+
+
+def _cms_sql() -> str:
+    d, w, hh = cu.CMS_D, cu.CMS_W, cu.CMS_HH_FRAC
+    cells_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_duck_sketch_hash('e', f'cms{r}|', w)} AS b, "
+        f"CAST(COUNT(*) AS BIGINT) AS cell FROM el GROUP BY 1, 2"
+        for r in range(d)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT e, n_exact, {r} AS r, {_duck_sketch_hash('e', f'cms{r}|', w)} AS b "
+        f"FROM probes"
+        for r in range(d)
+    )
+    return f"""
+WITH toks AS (SELECT {_DUCK_TOKENS} AS t FROM documents WHERE text IS NOT NULL),
+el AS (SELECT unnest({_duck_shingles()}) AS e FROM toks WHERE len(t) >= 3),
+cells AS ({cells_union}),
+counts AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS n_exact FROM el GROUP BY e),
+total AS (SELECT SUM(n_exact) AS tot FROM counts),
+probes AS (SELECT e, n_exact FROM counts, total WHERE n_exact * {hh} >= tot),
+pr AS ({probe_union}),
+est AS (
+  SELECT pr.e, pr.n_exact, MIN(cells.cell) AS est
+  FROM pr JOIN cells ON pr.r = cells.r AND pr.b = cells.b
+  GROUP BY pr.e, pr.n_exact
+)
+SELECT e AS span, n_exact, CAST(est AS BIGINT) AS n_cms_est,
+       CAST(est - n_exact AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@_register(
+    "cms_heavy_hitters",
+    _cms_sql(),
+    "count-min-sketch heavy hitters over the word-3-gram span stream — the "
+    "constant-memory candidate screen for hot-span scrubbing at corpus "
+    f"scale: occurrences fold into a {cu.CMS_D}x{cu.CMS_W} combinable cell "
+    "grid keyed on (row, bucket) (map-side combine collapses every task to "
+    "<= d*w rows; no span-keyed shuffle in the sketch build); estimates are "
+    "min-of-cells, one-sided (est >= exact), integer-exact and "
+    "hash-identical to the SQL twin, hash collisions included",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.cms_heavy_hitters(docs)
