@@ -631,3 +631,34 @@ def test_pq_adc_exact_when_vectors_are_codewords(spark):
             if n != q
         )
         assert [n for _, n in ranked] == [n for _, n in trued]
+
+
+def test_contrastive_pairs_hardest_positive_and_negative(spark):
+    from weather_bigquery_lakehouse_spark.operators import similarity as sim
+
+    # one plane (sign of y): every vector below has y >= 0 → one bucket.
+    # {a=1, b=2, c=3} form a dup cluster (all pairwise cosines >= 0.3);
+    # d=4 shares the bucket but scores < 0.3 against all of them.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.5, 0.5]),
+        (4, [-0.9, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.anchor: r
+        for r in sim.contrastive_pairs(emb, planes=[[0.0, 1.0]]).collect()
+    }
+    # d is unclustered → never an anchor; a, b, c each get pairs
+    assert set(out) == {1, 2, 3}
+    # hardest positive = lowest-cosine direct partner:
+    # cos(1,3)≈.707 < cos(1,2)≈.994 → anchor 1 picks 3
+    # cos(2,3)≈.781 < cos(1,2)      → anchor 2 picks 3
+    # cos(1,3)≈.707 < cos(2,3)      → anchor 3 picks 1
+    assert out[1].pos_id == 3 and out[2].pos_id == 3 and out[3].pos_id == 1
+    # the only non-cluster-mate in the bucket is d — everyone's negative
+    assert all(out[i].neg_id == 4 for i in (1, 2, 3))
+    # mined negatives always score below the dup threshold by construction
+    assert all(out[i].neg_sim < 0.3 for i in (1, 2, 3))
+    assert all(out[i].pos_sim >= 0.3 for i in (1, 2, 3))

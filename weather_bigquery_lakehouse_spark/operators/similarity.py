@@ -513,3 +513,116 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def contrastive_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-pair mining for contrastive embedding training: for every
+    vector that belongs to a near-dup cluster AND shares an LSH bucket
+    with at least one non-cluster-mate, emit its hardest positive and
+    hardest negative.
+
+    - hard positive: the anchor's DIRECT near-dup partner (a
+      ``embedding_near_dup_pairs`` edge) with the LOWEST cosine — the
+      least-obvious duplicate, the pair a contrastive loss learns most
+      from; tie-broken on partner id.
+    - hard negative: the same-LSH-bucket vector NOT in the anchor's
+      cluster with the HIGHEST cosine — close in embedding space yet not
+      a duplicate; tie-broken on candidate id. Within a bucket,
+      cosine ≥ threshold implies a pair edge implies same cluster, so
+      every same-bucket non-cluster-mate scores < threshold by
+      construction — the mined negatives can never be mislabeled
+      positives.
+
+    Scale shape: reuses the pair stage's bucket self-join (work ∝ bucket
+    occupancy, never all-pairs) with the shared pair frame checkpointed
+    once to feed both connected components and positive ranking; cluster
+    labels attach through plain id-keyed joins (dup-cluster membership is
+    data-proportional in the worst case — not broadcast); both rankings
+    are per-anchor windows over bucket-bounded candidate sets.
+    Similarities are rounded to ``SIM_DECIMALS`` before ranking and ties
+    break on ids, so the mined pairs are engine-portable.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, planes, threshold, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs, left_col="vec_a", right_col="vec_b")
+
+    pos_cand = pairs.select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("partner"), "cosine_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("anchor"),
+            F.col("vec_a").alias("partner"),
+            "cosine_sim",
+        )
+    )
+    w_pos = Window.partitionBy("anchor").orderBy(
+        F.col("cosine_sim").asc(), F.col("partner").asc()
+    )
+    pos = (
+        pos_cand.withColumn("__rn", F.row_number().over(w_pos))
+        .where(F.col("__rn") == 1)
+        .select(
+            "anchor",
+            F.col("partner").alias("pos_id"),
+            F.col("cosine_sim").alias("pos_sim"),
+        )
+    )
+
+    v = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = v.select(
+        F.col(id_col).alias("anchor"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket",
+    )
+    b = v.select(
+        F.col(id_col).alias("cand"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket",
+    )
+    la = labels.select(
+        F.col("node").alias("anchor"), F.col("comp").alias("__ca")
+    )
+    lb = labels.select(F.col("node").alias("cand"), F.col("comp").alias("__cb"))
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        SIM_DECIMALS,
+    )
+    neg_cand = (
+        a.join(b, "__bucket")
+        .where(F.col("anchor") != F.col("cand"))
+        .join(la, "anchor")  # anchors must be clustered (they need a positive)
+        .join(lb, "cand", "left")
+        .where(F.col("__cb").isNull() | (F.col("__cb") != F.col("__ca")))
+        .select("anchor", "cand", cos.alias("__cos"))
+    )
+    w_neg = Window.partitionBy("anchor").orderBy(
+        F.col("__cos").desc(), F.col("cand").asc()
+    )
+    neg = (
+        neg_cand.withColumn("__rn", F.row_number().over(w_neg))
+        .where(F.col("__rn") == 1)
+        .select(
+            "anchor",
+            F.col("cand").alias("neg_id"),
+            F.col("__cos").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        F.col("anchor").cast("bigint").alias("anchor"),
+        F.col("pos_id").cast("bigint").alias("pos_id"),
+        F.col("pos_sim").cast("double").alias("pos_sim"),
+        F.col("neg_id").cast("bigint").alias("neg_id"),
+        F.col("neg_sim").cast("double").alias("neg_sim"),
+    )

@@ -1866,3 +1866,92 @@ FROM est
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
     return cu.cms_heavy_hitters(docs)
+
+
+# --------------------------------------------------------------------------
+# Contrastive hard-pair mining (positives from dup clusters, hard
+# negatives from the shared LSH bucket space)
+# --------------------------------------------------------------------------
+
+
+def _contrastive_sql() -> str:
+    from ..operators import similarity as sim
+    from .extensions import _DUCK_DOT, _bucket_sql, _embedding_dup_sql
+
+    dot_ab = _DUCK_DOT.format(a="ea", b="eb")
+    dot_aa = _DUCK_DOT.format(a="ea", b="ea")
+    dot_bb = _DUCK_DOT.format(a="eb", b="eb")
+    cos = f"ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), {sim.SIM_DECIMALS})"
+    return f"""
+WITH RECURSIVE
+pairs AS ({_embedding_dup_sql()}),
+e AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+walk AS (
+  SELECT v, v AS comp FROM nodes
+  UNION
+  SELECT e.b AS v, w.comp FROM walk w JOIN e ON e.a = w.v
+),
+labels AS (SELECT v, MIN(comp) AS comp FROM walk GROUP BY v),
+pos_cand AS (
+  SELECT vec_a AS anchor, vec_b AS partner, cosine_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS anchor, vec_a AS partner, cosine_sim FROM pairs
+),
+pos AS (
+  SELECT anchor, partner AS pos_id, cosine_sim AS pos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor ORDER BY cosine_sim ASC, partner ASC
+         ) AS rn
+  FROM pos_cand
+),
+v AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+negc AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS cand, {cos} AS c
+  FROM (SELECT vec_id, embedding AS ea, bucket FROM v) a
+  JOIN (SELECT vec_id, embedding AS eb, bucket FROM v) b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  JOIN labels la ON la.v = a.vec_id
+  LEFT JOIN labels lb ON lb.v = b.vec_id
+  WHERE lb.v IS NULL OR lb.comp <> la.comp
+),
+neg AS (
+  SELECT anchor, cand AS neg_id, c AS neg_sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY c DESC, cand ASC) AS rn
+  FROM negc
+)
+SELECT CAST(p.anchor AS BIGINT) AS anchor,
+       CAST(p.pos_id AS BIGINT) AS pos_id,
+       CAST(p.pos_sim AS DOUBLE) AS pos_sim,
+       CAST(n.neg_id AS BIGINT) AS neg_id,
+       CAST(n.neg_sim AS DOUBLE) AS neg_sim
+FROM (SELECT * FROM pos WHERE rn = 1) p
+JOIN (SELECT * FROM neg WHERE rn = 1) n ON p.anchor = n.anchor
+"""
+
+
+@_register(
+    "contrastive_pairs",
+    _contrastive_sql(),
+    "hard-pair mining for contrastive embedding training: hardest positive "
+    "= the anchor's lowest-cosine direct near-dup partner; hardest negative "
+    "= the highest-cosine same-LSH-bucket non-cluster-mate (by construction "
+    "scoring < the dup threshold, so a negative can never be a mislabeled "
+    "positive); reuses the bucket-bounded pair stage (checkpointed once for "
+    "CC + positive ranking) and id-keyed label joins — nothing "
+    "data-proportional broadcast, rankings are per-anchor windows over "
+    "bucket-bounded candidates",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from .extensions import _EMB_DUP_THRESHOLD, _PLANES
+
+    emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
+    return sim.contrastive_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
