@@ -138,6 +138,9 @@ EXTENDED = [
     "streaming_enrich_static",
     "source_overlap_matrix",
     "similarity_pq_topk",
+    "decontaminate_bloom",
+    "cms_heavy_hitters",
+    "contrastive_pairs",
 ]
 
 
