@@ -248,3 +248,20 @@ def test_cms_cells_broadcast_and_sketch_build_combines_map_side(spark, sf_dir):
     # pair around its exchange
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_contrastive_pairs_windows_group_limit_no_cartesian(spark, sf_dir):
+    """Both hardest-pair rankings must be per-anchor windows compiled with
+    WindowGroupLimit pushdown (Partial before the exchange + Final after:
+    each task forwards ONE candidate row per anchor instead of the whole
+    bucket-bounded candidate set), and no join may degrade to a
+    cartesian/broadcast-nested-loop — candidate generation is keyed on the
+    LSH bucket, label attachment on ids."""
+    plan = _plan(QUERIES["contrastive_pairs"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 4, "top-1 not pushed map-side"
+    assert ", Partial" in plan and ", Final" in plan
+    # windows are keyed on the anchor, never empty-partition (global)
+    assert "windowspecdefinition(anchor" in plan
+    assert "windowspecdefinition(," not in plan
