@@ -141,6 +141,7 @@ EXTENDED = [
     "decontaminate_bloom",
     "cms_heavy_hitters",
     "contrastive_pairs",
+    "corpus_datasheet",
 ]
 
 

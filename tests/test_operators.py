@@ -662,3 +662,24 @@ def test_contrastive_pairs_hardest_positive_and_negative(spark):
     # mined negatives always score below the dup threshold by construction
     assert all(out[i].neg_sim < 0.3 for i in (1, 2, 3))
     assert all(out[i].pos_sim >= 0.3 for i in (1, 2, 3))
+
+
+def test_corpus_datasheet_counts_on_hand_corpus(spark):
+    from weather_bigquery_lakehouse_spark.operators import text as tx
+
+    rows = [
+        (1, "the and is of in a to was", "en"),   # en stopwords, 8 tokens
+        (2, "the and is of in a to was", "en"),   # exact duplicate of 1
+        (3, "le la et les des un une du", "fr"),  # fr stopwords
+        (4, None, "en"),                          # null text: excluded
+        (5, "zzz qqq xxx", "xx"),                 # no stopword hits: und
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    r = tx.corpus_datasheet(docs).collect()[0]
+    assert r.n_docs == 4
+    assert r.n_exact_dup_docs == 1
+    assert r.exact_dup_frac == 0.25
+    assert r.n_tokens_total == 8 + 8 + 8 + 3
+    assert (r.n_en, r.n_fr, r.n_und) == (2, 1, 1)
+    assert r.n_es == 0 and r.n_de == 0
+    assert r.mean_doc_tokens == round(27 / 4, 4)

@@ -205,3 +205,69 @@ def train_val_split_expr(
         F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint") % 100
     )
     return F.when(bucket < val_fraction_pct, F.lit("val")).otherwise(F.lit("train"))
+
+
+def corpus_datasheet(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus datasheet — the summary a training-data team
+    publishes alongside a dataset release: document and token volume,
+    exact-duplicate rate, language mix, and quality-score mix, composed
+    from the text-family operators (`token_stats`, `language_id`,
+    `quality_score`) so the datasheet can never drift from the per-doc
+    signals it summarizes.
+
+    Scale shape: a handful of full-corpus passes, each a combinable
+    map-side aggregate to ONE row; the single-row results cross-join
+    (1×1 broadcasts) into the final datasheet. The dup rate is a
+    countDistinct on a 32-byte sha2 digest — constant-width shuffle keys,
+    same as exact dedup.
+    """
+    base = df.where(F.col(text_col).isNotNull())
+    tok = token_stats(base, text_col, id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.sum("n_tokens_bpe_est").cast("bigint").alias("n_tokens_bpe_total"),
+    )
+    chars = base.agg(
+        F.sum(F.length(F.trim(F.col(text_col)))).cast("bigint").alias("n_chars_total")
+    )
+    dup = base.agg(
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col(text_col), 256)))
+        .cast("bigint")
+        .alias("n_exact_dup_docs")
+    )
+    lang = language_id(base, text_col, id_col).agg(
+        *[
+            F.sum((F.col("pred_lang") == lang).cast("int"))
+            .cast("bigint")
+            .alias(f"n_{lang}")
+            for lang in LANG_ORDER + ["und"]
+        ]
+    )
+    qual = quality_score(base, text_col, id_col).agg(
+        F.round(F.sum("quality_score") / F.count(F.lit(1)), 4).alias("mean_quality"),
+        F.sum((F.col("quality_score") == 3.0).cast("int"))
+        .cast("bigint")
+        .alias("n_full_quality"),
+    )
+    return (
+        tok.crossJoin(chars)
+        .crossJoin(dup)
+        .crossJoin(lang)
+        .crossJoin(qual)
+        .select(
+            "n_docs",
+            "n_tokens_total",
+            "n_tokens_bpe_total",
+            "n_chars_total",
+            "n_exact_dup_docs",
+            F.round(
+                F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_frac"),
+            F.round(
+                F.col("n_tokens_total").cast("double") / F.col("n_docs"), 4
+            ).alias("mean_doc_tokens"),
+            *[f"n_{lang}" for lang in LANG_ORDER + ["und"]],
+            "mean_quality",
+            "n_full_quality",
+        )
+    )
