@@ -142,6 +142,7 @@ EXTENDED = [
     "cms_heavy_hitters",
     "contrastive_pairs",
     "corpus_datasheet",
+    "ann_recall_report",
 ]
 
 

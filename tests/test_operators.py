@@ -683,3 +683,41 @@ def test_corpus_datasheet_counts_on_hand_corpus(spark):
     assert (r.n_en, r.n_fr, r.n_und) == (2, 1, 1)
     assert r.n_es == 0 and r.n_de == 0
     assert r.mean_doc_tokens == round(27 / 4, 4)
+
+
+def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
+    from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
+    from weather_bigquery_lakehouse_spark.plans.extensions import (
+        _N_MULTIPROBE, _N_PROBES, _PLANES, _TOP_K, _N_CELLS,
+        _N_IVF_PROBE_CELLS,
+    )
+    from weather_bigquery_lakehouse_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    report = {
+        r.method: r
+        for r in ALL_QUERIES["ann_recall_report"].fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, probes, k=_TOP_K).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_bucketed_topk(
+            emb, probes, _PLANES, k=_TOP_K, n_probes=_N_MULTIPROBE
+        ).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(
+            emb, probes, n_cells=_N_CELLS, k=_TOP_K,
+            n_probe_cells=_N_IVF_PROBE_CELLS,
+        ).collect()
+    }
+    denom = _TOP_K * _N_PROBES
+    assert report["lsh_multiprobe"].recall_at_k == round(len(lsh & exact) / denom, 6)
+    assert report["ivf_multiprobe"].recall_at_k == round(len(ivf & exact) / denom, 6)
+    assert all(0.0 < r.recall_at_k <= 1.0 for r in report.values())
