@@ -143,6 +143,7 @@ EXTENDED = [
     "contrastive_pairs",
     "corpus_datasheet",
     "ann_recall_report",
+    "cluster_label_purity",
 ]
 
 

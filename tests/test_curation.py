@@ -808,3 +808,18 @@ def test_cms_narrow_sketch_overcounts_but_min_row_tightens(spark):
     assert set(wide) == set(shallow)
     for s, est in wide.items():
         assert est <= shallow[s]
+
+
+def test_cluster_label_purity_mixed_and_pure_clusters(spark):
+    # Hand graph via direct CC + purity math equivalence on real data:
+    # every purity must be the dominant-label share and n_top <= n_members.
+    from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
+
+    rows = ALL_QUERIES["cluster_label_purity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "sf0.001 embeddings must form at least one cluster"
+    for r in rows:
+        assert 0 < r.n_top_label <= r.n_members
+        assert r.purity == round(r.n_top_label / r.n_members, 6)
+        assert 0 < r.purity <= 1.0

@@ -1955,3 +1955,95 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
     return sim.contrastive_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# Cluster-label purity audit (does near-dup clustering agree with labels?)
+# --------------------------------------------------------------------------
+
+
+def _purity_sql() -> str:
+    from .extensions import _embedding_dup_sql
+
+    return f"""
+WITH RECURSIVE
+pairs AS ({_embedding_dup_sql()}),
+e AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM e),
+walk AS (
+  SELECT v, v AS comp FROM nodes
+  UNION
+  SELECT e.b AS v, w.comp FROM walk w JOIN e ON e.a = w.v
+),
+labels AS (SELECT v, CAST(MIN(comp) AS BIGINT) AS cluster_id FROM walk GROUP BY v),
+member AS (
+  SELECT l.cluster_id, emb.label
+  FROM labels l JOIN embeddings emb ON emb.vec_id = l.v
+),
+by_label AS (
+  SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM member GROUP BY cluster_id, label
+),
+ranked AS (
+  SELECT cluster_id, label, n,
+         CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM by_label
+)
+SELECT cluster_id, n_members,
+       CAST(label AS INT) AS top_label,
+       CAST(n AS BIGINT) AS n_top_label,
+       ROUND(CAST(n AS DOUBLE) / n_members, 6) AS purity
+FROM ranked WHERE rn = 1
+"""
+
+
+@_register(
+    "cluster_label_purity",
+    _purity_sql(),
+    "clustering-quality audit: per near-dup cluster, the dominant label's "
+    "share (purity) — low purity flags over-merged clusters (an LSH bucket "
+    "cap or threshold regression) before they poison a leakage-safe split; "
+    "reuses the embedding pair + connected-components pipeline verbatim, "
+    "then one combinable (cluster,label) count with a per-cluster "
+    "WindowGroupLimit top-1",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators import similarity as sim
+    from .extensions import _EMB_DUP_THRESHOLD, _PLANES
+    from pyspark.sql.window import Window
+
+    emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = sim.embedding_near_dup_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
+    clusters = dd.connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    member = clusters.select(
+        F.col("node").alias("vec_id"), F.col("comp").cast("bigint").alias("cluster_id")
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    by_label = member.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_tot = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("__n").desc(), F.col("label").asc()
+    )
+    return (
+        by_label.withColumn("n_members", F.sum("__n").over(w_tot))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("label").cast("int").alias("top_label"),
+            F.col("__n").cast("bigint").alias("n_top_label"),
+            F.round(F.col("__n").cast("double") / F.col("n_members"), 6).alias(
+                "purity"
+            ),
+        )
+    )
