@@ -265,3 +265,14 @@ def test_contrastive_pairs_windows_group_limit_no_cartesian(spark, sf_dir):
     # windows are keyed on the anchor, never empty-partition (global)
     assert "windowspecdefinition(anchor" in plan
     assert "windowspecdefinition(," not in plan
+
+
+def test_corpus_datasheet_is_one_scan_one_tokenize(spark, sf_dir):
+    """The datasheet must be a single corpus pass: one FileScan (the naive
+    compose-and-cross-join shape costs 5 full scans at 100 TB) and ONE
+    tokenizer evaluation per row (the language CASE references the token
+    array dozens of times; HOF references are not CSE'd, so an inlined
+    tokenizer would re-run the regex split per reference)."""
+    plan = _plan(QUERIES["corpus_datasheet"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan") == 1
+    assert plan.count("split(lower") == 1

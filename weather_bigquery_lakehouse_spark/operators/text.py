@@ -61,18 +61,17 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality signals: token count, mean token length, punctuation ratio,
-    stopword ratio, and a composite score — all exact-integer-derived
-    doubles so the arithmetic is engine-portable."""
-    toks = tokens_expr(text_col)
-    text = F.trim(F.col(text_col))
+def quality_exprs(toks: Column, text: Column) -> dict[str, Column]:
+    """The quality-score expression family over a token array + trimmed
+    text (single definition shared by `quality_score` and the one-pass
+    `corpus_datasheet`): mean token length, punctuation ratio, stopword
+    ratio, composite score — all exact-integer-derived doubles so the
+    arithmetic is engine-portable. Only meaningful where size(toks) > 0."""
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     token_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
-    mean_tok_len = token_chars.cast("double") / n_tokens
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
     score = (
@@ -80,25 +79,40 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when((punct_ratio) < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
     )
-    return df.where(n_tokens > 0).select(
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": token_chars.cast("double") / n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality signals: token count, mean token length, punctuation ratio,
+    stopword ratio, and a composite score — all exact-integer-derived
+    doubles so the arithmetic is engine-portable."""
+    q = quality_exprs(tokens_expr(text_col), F.trim(F.col(text_col)))
+    return df.where(q["n_tokens"] > 0).select(
         F.col(id_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        score.alias("quality_score"),
+        q["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(q["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic n-gram/stopword language ID: per-language stopword hit
-    ratio, argmax with fixed tie-break order, 'und' when nothing hits."""
-    toks = tokens_expr(text_col)
-    df = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") > 0)
+def lang_pred_exprs(toks: Column) -> tuple[Column, Column]:
+    """`(pred_lang, best_ratio)` expression pair over a token array —
+    single definition shared by `language_id` and the one-pass
+    `corpus_datasheet`. Per-language stopword hit ratio, argmax with the
+    fixed `LANG_ORDER` tie-break, 'und' when nothing hits. Only
+    meaningful where size(toks) > 0."""
     ratios = {
         lang: (
-            F.size(F.filter(F.col("__toks"), lambda t: t.isin(words))).cast("double")
-            / F.size("__toks")
+            F.size(F.filter(toks, lambda t: t.isin(words))).cast("double")
+            / F.size(toks)
         )
         for lang, words in STOPWORDS.items()
     }
@@ -106,6 +120,16 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.when(best <= 0, F.lit("und"))
     for lang in LANG_ORDER:  # first max wins — deterministic
         pred = pred.when(ratios[lang] == best, F.lit(lang))
+    return pred, best
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic n-gram/stopword language ID: per-language stopword hit
+    ratio, argmax with fixed tie-break order, 'und' when nothing hits."""
+    df = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    pred, best = lang_pred_exprs(F.col("__toks"))
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),
@@ -210,64 +234,74 @@ def train_val_split_expr(
 def corpus_datasheet(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-row corpus datasheet — the summary a training-data team
     publishes alongside a dataset release: document and token volume,
-    exact-duplicate rate, language mix, and quality-score mix, composed
-    from the text-family operators (`token_stats`, `language_id`,
-    `quality_score`) so the datasheet can never drift from the per-doc
-    signals it summarizes.
+    exact-duplicate rate, language mix, and quality-score mix, built from
+    the SAME expression definitions as the per-doc operators
+    (`quality_exprs`, `lang_pred_exprs`, the shared tokenizer) so the
+    datasheet can never drift from the signals it summarizes.
 
-    Scale shape: a handful of full-corpus passes, each a combinable
-    map-side aggregate to ONE row; the single-row results cross-join
-    (1×1 broadcasts) into the final datasheet. The dup rate is a
-    countDistinct on a 32-byte sha2 digest — constant-width shuffle keys,
-    same as exact dedup.
+    Scale shape: ONE corpus scan. Every per-doc signal (token counts,
+    language prediction, quality score, the sha2 dedup digest) is a
+    per-row projection built from the same expression definitions the
+    standalone operators use (`quality_exprs`, `lang_pred_exprs`), so the
+    whole datasheet is a single map-side-combinable aggregate — at 100 TB
+    the naive compose-and-cross-join shape costs 5 full scans; this costs
+    one. Docs with zero tokens carry NULL language/quality signals, and
+    the null-skipping aggregates reproduce exactly the standalone
+    operators' `size(toks) > 0` populations. The dup rate is a
+    countDistinct on a 32-byte sha2 digest — constant-width keys, same as
+    exact dedup.
     """
-    base = df.where(F.col(text_col).isNotNull())
-    tok = token_stats(base, text_col, id_col).agg(
+    # Materialize the token array ONCE in its own projection: the quality
+    # and language expressions reference it dozens of times, and repeated
+    # references inside higher-order functions are not CSE'd — inlining
+    # would re-run the regex split per reference (same trap documented on
+    # `fingerprint` and `_eval_train_shingles`).
+    prepped = df.where(F.col(text_col).isNotNull()).select(
+        F.col(text_col).alias("__text"),
+        F.trim(F.col(text_col)).alias("__trimmed"),
+        tokens_expr(text_col).alias("__toks"),
+    )
+    q = quality_exprs(F.col("__toks"), F.col("__trimmed"))
+    pred, _best = lang_pred_exprs(F.col("__toks"))
+    has_toks = F.size("__toks") > 0
+    signals = prepped.select(
+        F.size("__toks").cast("bigint").alias("__n_tokens"),
+        F.ceil(F.length("__trimmed") / F.lit(4)).alias("__bpe"),
+        F.length("__trimmed").cast("bigint").alias("__chars"),
+        F.sha2(F.col("__text"), 256).alias("__sha"),
+        F.when(has_toks, pred).alias("__lang"),
+        F.when(has_toks, q["quality_score"]).alias("__q"),
+    )
+    row = signals.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
-        F.sum("n_tokens_bpe_est").cast("bigint").alias("n_tokens_bpe_total"),
-    )
-    chars = base.agg(
-        F.sum(F.length(F.trim(F.col(text_col)))).cast("bigint").alias("n_chars_total")
-    )
-    dup = base.agg(
-        (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col(text_col), 256)))
+        F.sum("__n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.sum("__bpe").cast("bigint").alias("n_tokens_bpe_total"),
+        F.sum("__chars").cast("bigint").alias("n_chars_total"),
+        (F.count(F.lit(1)) - F.countDistinct("__sha"))
         .cast("bigint")
-        .alias("n_exact_dup_docs")
-    )
-    lang = language_id(base, text_col, id_col).agg(
+        .alias("n_exact_dup_docs"),
         *[
-            F.sum((F.col("pred_lang") == lang).cast("int"))
+            F.sum((F.col("__lang") == lang).cast("int"))
             .cast("bigint")
             .alias(f"n_{lang}")
             for lang in LANG_ORDER + ["und"]
-        ]
+        ],
+        F.round(F.sum("__q") / F.count("__q"), 4).alias("mean_quality"),
+        F.sum((F.col("__q") == 3.0).cast("int")).cast("bigint").alias("n_full_quality"),
     )
-    qual = quality_score(base, text_col, id_col).agg(
-        F.round(F.sum("quality_score") / F.count(F.lit(1)), 4).alias("mean_quality"),
-        F.sum((F.col("quality_score") == 3.0).cast("int"))
-        .cast("bigint")
-        .alias("n_full_quality"),
-    )
-    return (
-        tok.crossJoin(chars)
-        .crossJoin(dup)
-        .crossJoin(lang)
-        .crossJoin(qual)
-        .select(
-            "n_docs",
-            "n_tokens_total",
-            "n_tokens_bpe_total",
-            "n_chars_total",
-            "n_exact_dup_docs",
-            F.round(
-                F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
-            ).alias("exact_dup_frac"),
-            F.round(
-                F.col("n_tokens_total").cast("double") / F.col("n_docs"), 4
-            ).alias("mean_doc_tokens"),
-            *[f"n_{lang}" for lang in LANG_ORDER + ["und"]],
-            "mean_quality",
-            "n_full_quality",
-        )
+    return row.select(
+        "n_docs",
+        "n_tokens_total",
+        "n_tokens_bpe_total",
+        "n_chars_total",
+        "n_exact_dup_docs",
+        F.round(
+            F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_frac"),
+        F.round(
+            F.col("n_tokens_total").cast("double") / F.col("n_docs"), 4
+        ).alias("mean_doc_tokens"),
+        *[f"n_{lang}" for lang in LANG_ORDER + ["und"]],
+        "mean_quality",
+        "n_full_quality",
     )
