@@ -144,6 +144,7 @@ EXTENDED = [
     "corpus_datasheet",
     "ann_recall_report",
     "cluster_label_purity",
+    "mixture_drift",
 ]
 
 

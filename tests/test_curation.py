@@ -823,3 +823,25 @@ def test_cluster_label_purity_mixed_and_pure_clusters(spark):
         assert 0 < r.n_top_label <= r.n_members
         assert r.purity == round(r.n_top_label / r.n_members, 6)
         assert 0 < r.purity <= 1.0
+
+
+def test_mixture_drift_shares_and_delta_exact(spark):
+    # verify share arithmetic against Python integer division, and that a
+    # domain present in only one half shows the full drift signal
+    docs = spark.createDataFrame(
+        [(i, "t", "en") for i in range(400)],
+        "doc_id bigint, text string, lang string",
+    ).withColumn(
+        "source",
+        F.when(F.col("doc_id") < 300, F.lit("web")).otherwise(F.lit("books")),
+    )
+    out = {r.source: r for r in cu.mixture_drift(docs).collect()}
+    t_a = sum(r.n_a for r in out.values())
+    t_b = sum(r.n_b for r in out.values())
+    assert t_a + t_b == 400
+    for r in out.values():
+        assert r.share_a_ppm == (r.n_a * 1_000_000) // t_a
+        assert r.share_b_ppm == (r.n_b * 1_000_000) // t_b
+        assert r.delta_ppm == abs(r.share_a_ppm - r.share_b_ppm)
+    # TVD over ppm shares is bounded by the scale
+    assert sum(r.delta_ppm for r in out.values()) / 2 <= 1_000_000

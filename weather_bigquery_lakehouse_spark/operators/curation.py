@@ -1344,3 +1344,58 @@ def cms_heavy_hitters(
         F.col("__est").cast("bigint").alias("n_cms_est"),
         (F.col("__est") - F.col("n_exact")).cast("bigint").alias("overcount"),
     )
+
+
+def mixture_drift(
+    docs: DataFrame,
+    salt: str = "drift|",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Domain-mixture drift report — the monitor a continuous-ingest
+    pipeline runs between snapshots to catch a source going dark or
+    flooding before the mixture silently shifts under a training run.
+    The two "snapshots" here are the deterministic md5 halves of the
+    corpus (bucket < 50 vs >= 50 under ``salt``), the registerable
+    stand-in for yesterday's-zone vs today's-zone; callers with real
+    snapshots pass them through the same per-domain accounting.
+
+    Per domain: counts in each half, integer parts-per-``scale`` shares
+    (exact BIGINT division, the bigram-LM trick — no IEEE sum-order
+    anywhere), and the absolute share delta. The corpus-level
+    total-variation distance is ``SUM(delta_ppm) / 2``; the per-domain
+    rows stay the atomic artifact so the alert can name the domain.
+
+    Scale shape: ONE combinable corpus aggregate keyed on the domain
+    (map-side combine collapses each task to ≤ |domains| rows), one tiny
+    aggregate over the |domains|-row count table for the totals
+    (the corpus is never rescanned), broadcast back onto ≤ |domains|
+    result rows.
+    """
+    in_a = (md5_bucket(id_col, salt=salt) < 50).cast("int")
+    counts = (
+        docs.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(
+            F.sum(in_a).cast("bigint").alias("n_a"),
+            F.sum(1 - in_a).cast("bigint").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("bigint").alias("__t_a"),
+        F.sum("n_b").cast("bigint").alias("__t_b"),
+    )
+    share_a = F.expr(f"CAST((n_a * {scale}L) DIV NULLIF(__t_a, 0) AS BIGINT)")
+    share_b = F.expr(f"CAST((n_b * {scale}L) DIV NULLIF(__t_b, 0) AS BIGINT)")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(source_col).alias("source"),
+            "n_a",
+            "n_b",
+            share_a.alias("share_a_ppm"),
+            share_b.alias("share_b_ppm"),
+            F.abs(share_a - share_b).cast("bigint").alias("delta_ppm"),
+        )
+    )

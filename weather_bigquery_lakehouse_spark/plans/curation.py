@@ -2047,3 +2047,49 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture drift monitor (per-domain snapshot shares, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def _drift_sql() -> str:
+    bucket = _DUCK_BUCKET.format(
+        key="'drift|' || CAST(doc_id AS VARCHAR)", mod=100
+    )
+    sa = "CAST((n_a * 1000000) // NULLIF(t_a, 0) AS BIGINT)"
+    sb = "CAST((n_b * 1000000) // NULLIF(t_b, 0) AS BIGINT)"
+    return f"""
+WITH b AS (
+  SELECT source, CASE WHEN {bucket} < 50 THEN 1 ELSE 0 END AS ha
+  FROM documents WHERE source IS NOT NULL
+),
+c AS (
+  SELECT source, CAST(SUM(ha) AS BIGINT) AS n_a,
+         CAST(SUM(1 - ha) AS BIGINT) AS n_b
+  FROM b GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b FROM c)
+SELECT source, n_a, n_b,
+       {sa} AS share_a_ppm,
+       {sb} AS share_b_ppm,
+       CAST(ABS({sa} - {sb}) AS BIGINT) AS delta_ppm
+FROM c, t
+"""
+
+
+@_register(
+    "mixture_drift",
+    _drift_sql(),
+    "domain-mixture drift monitor between two corpus snapshots (stand-in: "
+    "the deterministic md5 halves): per-domain counts, integer-ppm shares "
+    "(exact BIGINT division — no IEEE sum-order anywhere), absolute share "
+    "delta; corpus TVD = sum(delta_ppm)/2. One combinable corpus aggregate "
+    "keyed on the domain + one |domains|-row totals aggregate broadcast "
+    "back — the corpus is scanned once and never rescanned for totals",
+    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+)
+def mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.mixture_drift(docs)
