@@ -397,3 +397,57 @@ def test_token_budget_sample_matches_prefix_reference(spark, rows, budget_a):
             cum += n
             expect[i] = cum
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory sketches: CMS one-sidedness, Bloom no-false-negatives
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3,
+    max_size=12,
+)
+_sketch_docs = st.lists(_words, min_size=1, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sketch_docs, st.integers(1, 3), st.sampled_from([4, 8, 64]))
+def test_cms_never_undercounts_any_width(spark, docs, d, w):
+    """CMS one-sided error must hold for ANY sketch geometry, including
+    widths far too narrow for the vocabulary (max collisions), and the
+    exact counts must match a pure-Python counter."""
+    from collections import Counter
+
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    rows = [(i, " ".join(ws), "en") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = cu.cms_heavy_hitters(df, d=d, w=w, hh_frac=10**6, k=3).collect()
+    truth = Counter(
+        " ".join(ws[i : i + 3]) for ws in docs for i in range(len(ws) - 2)
+    )
+    got = {r.span: (r.n_exact, r.n_cms_est) for r in out}
+    # hh_frac=1e6 admits every span (n * 1e6 >= total always for n >= 1)
+    assert set(got) == set(truth)
+    for span, (n_exact, n_est) in got.items():
+        assert n_exact == truth[span]
+        assert n_est >= n_exact
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sketch_docs, st.sampled_from([64, 1 << 16]))
+def test_bloom_no_false_negatives_any_filter_width(spark, docs, m):
+    """Bloom hits must be a superset of exact hits for ANY filter width —
+    even an absurdly small m (guaranteed saturation) can only ADD false
+    positives, never hide a real contamination."""
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    rows = [(i, " ".join(ws), "en") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    exact = {r.doc_id: r for r in cu.decontaminate_ngram_overlap(df).collect()}
+    bloom = {r.doc_id: r for r in cu.decontaminate_bloom(df, m=m).collect()}
+    assert set(bloom) == set(exact)
+    for i, b in bloom.items():
+        assert b.n_shingles == exact[i].n_shingles
+        assert b.n_bloom_hits >= exact[i].n_contaminated
