@@ -145,6 +145,7 @@ EXTENDED = [
     "ann_recall_report",
     "cluster_label_purity",
     "mixture_drift",
+    "skew_key_report",
 ]
 
 

@@ -721,3 +721,26 @@ def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
     assert report["lsh_multiprobe"].recall_at_k == round(len(lsh & exact) / denom, 6)
     assert report["ivf_multiprobe"].recall_at_k == round(len(ivf & exact) / denom, 6)
     assert all(0.0 < r.recall_at_k <= 1.0 for r in report.values())
+
+
+def test_skew_key_report_math_and_takeordered_plan(spark):
+    import contextlib, io
+
+    from weather_bigquery_lakehouse_spark.operators.skew import skew_key_report
+
+    # key 1 holds 60 of 100 rows over 5 distinct keys: share 600000 ppm,
+    # hot factor 3.0x (3000 milli)
+    rows = [(1,)] * 60 + [(2,)] * 10 + [(3,)] * 10 + [(4,)] * 10 + [(5,)] * 10
+    df = spark.createDataFrame(rows, "user_id bigint")
+    out = {r.key: r for r in skew_key_report(df, "user_id", top_n=3).collect()}
+    assert len(out) == 3 and out[1].rank == 1
+    assert out[1].share_ppm == 600_000 and out[1].hot_factor_milli == 3000
+    assert out[2].share_ppm == 100_000 and out[2].hot_factor_milli == 500
+    # ties broken by key asc: keys 2,3 fill ranks 2,3
+    assert out[2].rank == 2 and out[3].rank == 3
+    # top-n must compile to TakeOrderedAndProject — never a global sort or
+    # data-proportional single-partition window over the key space
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        skew_key_report(df, "user_id", top_n=3).explain("simple")
+    assert "TakeOrderedAndProject" in buf.getvalue()

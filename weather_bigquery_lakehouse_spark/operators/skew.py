@@ -39,3 +39,56 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
+def skew_key_report(
+    df,
+    key_col: str,
+    top_n: int = 10,
+    scale: int = 1_000_000,
+):
+    """The measured input to the salting decision: the ``top_n`` heaviest
+    values of a join key with their integer-ppm share of the table and
+    their multiple of the mean key frequency ("hot factor"). A key whose
+    hot factor is ~1 needs no salt; a key holding 10% of a power-law
+    table is the straggler `salted_join`'s ``n_salts`` should be sized
+    against — measured, not guessed.
+
+    Scale shape: one combinable count keyed on the key (map-side combine);
+    the top-n selection is an ``orderBy().limit()`` that compiles to
+    TakeOrderedAndProject — each task forwards its local top-n, never a
+    global sort (or single-partition window) over the key space; the rank
+    window then runs over ≤ ``top_n`` rows. Totals come from a 2-value
+    aggregate over the COUNT TABLE (the input is never rescanned),
+    broadcast back. Integer-exact shares (BIGINT ppm division) with
+    count/key tie-breaks, so the report is engine-portable row for row.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = df.where(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col(key_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col(key_col).alias("key"),
+            "n_rows",
+            F.expr(f"CAST((n_rows * {scale}L) DIV __total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            # hot factor ×1000: how many times the mean key frequency,
+            # exact integer math (n_rows * n_keys * 1000 div total)
+            F.expr(
+                "CAST((n_rows * __n_keys * 1000L) DIV __total AS BIGINT)"
+            ).alias("hot_factor_milli"),
+        )
+    )
