@@ -12,6 +12,15 @@ Each query runs REPS times and reports the per-query MEDIAN, so one noisy
 run (CPU contention from a co-tenant process) can't masquerade as a plan
 regression — round-2's recorded bench was ~40% inflated across the board
 by exactly that. Raw per-rep timings ship in "runs" for auditability.
+
+The JSON line is additionally NOISE-EVIDENT (round-6 verdict demand: the
+official r6 record read as a +34% regression that was actually box load):
+- "value_floor" = sum of per-query MIN reps — the best-case the plans
+  achieved on this box; a loaded run shows value >> value_floor, a plan
+  regression moves both together.
+- "load_avg" = 1/5/15-min load averages sampled before the first timed
+  query, so a contended box is self-describing in the record. If the
+  1-minute load exceeds LOAD_WARN at start, "load_warning" is set.
 """
 
 from __future__ import annotations
@@ -182,6 +191,11 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+    # Sample box load AFTER warm-up, right before the first timed query:
+    # a co-tenant burning CPU now is what inflates the medians.
+    LOAD_WARN = 4.0
+    load_avg = [round(x, 2) for x in os.getloadavg()]
+
     def run(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
         medians: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
@@ -202,17 +216,27 @@ def main() -> None:
     extended, extended_runs = run(EXTENDED)
 
     total = round(sum(timings.values()), 3)
+    floor_total = round(sum(min(t) for t in runs.values()), 3)
+    extended_floor = round(sum(min(t) for t in extended_runs.values()), 3)
     summary = {
         "metric": "headline query wall-clock, noop-materialized, median of %d" % reps,
         "value": total,
+        "value_floor": floor_total,
         "unit": "sec",
+        "load_avg": load_avg,
         "queries": timings,
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "extended_floor": extended_floor,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_DETAIL.json",
     }
+    if load_avg[0] > LOAD_WARN:
+        summary["load_warning"] = (
+            "1-min load %.2f > %.1f at bench start — medians likely "
+            "inflated by co-tenant CPU; trust value_floor" % (load_avg[0], LOAD_WARN)
+        )
     # The harness that records this output keeps only the LAST ~2000
     # characters of stdout and parses the JSON line out of that window —
     # round 3's line grew past it (raw per-rep runs + sizing) and was

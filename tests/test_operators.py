@@ -744,3 +744,6 @@ def test_skew_key_report_math_and_takeordered_plan(spark):
     with contextlib.redirect_stdout(buf):
         skew_key_report(df, "user_id", top_n=3).explain("simple")
     assert "TakeOrderedAndProject" in buf.getvalue()
+    # rank comes from the triangular broadcast self-join, NOT an
+    # unpartitioned window — zero WindowExec (and zero warnings) in the plan
+    assert "Window" not in buf.getvalue()

@@ -57,13 +57,16 @@ def skew_key_report(
     Scale shape: one combinable count keyed on the key (map-side combine);
     the top-n selection is an ``orderBy().limit()`` that compiles to
     TakeOrderedAndProject — each task forwards its local top-n, never a
-    global sort (or single-partition window) over the key space; the rank
-    window then runs over ≤ ``top_n`` rows. Totals come from a 2-value
-    aggregate over the COUNT TABLE (the input is never rescanned),
-    broadcast back. Integer-exact shares (BIGINT ppm division) with
-    count/key tie-breaks, so the report is engine-portable row for row.
+    global sort (or single-partition window) over the key space; rank is
+    then a triangular broadcast self-join over the ≤ ``top_n``-row frame
+    (count of strictly-better rows + 1) — the same pattern the quantile
+    core uses to avoid WindowExec's "No Partition Defined" warning, which
+    is aimed at data-scale frames and would alarm users in every run's
+    stderr. Totals come from a 2-value aggregate over the COUNT TABLE
+    (the input is never rescanned), broadcast back. Integer-exact shares
+    (BIGINT ppm division) with count/key tie-breaks, so the report is
+    engine-portable row for row.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     counts = df.where(F.col(key_col).isNotNull()).groupBy(key_col).agg(
@@ -74,13 +77,28 @@ def skew_key_report(
         F.count(F.lit(1)).cast("bigint").alias("__n_keys"),
     )
     top = counts.orderBy(F.col("n_rows").desc(), F.col(key_col).asc()).limit(top_n)
-    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+    t = top.select(F.col(key_col).alias("key"), "n_rows")
+    # rank = 1 + #rows ordered strictly before (count desc, key asc) —
+    # keys are unique post-groupBy, so the rank is total and gap-free.
+    ranked = (
+        t.alias("a")
+        .join(
+            F.broadcast(t.alias("b")),
+            (F.col("b.n_rows") > F.col("a.n_rows"))
+            | (
+                (F.col("b.n_rows") == F.col("a.n_rows"))
+                & (F.col("b.key") < F.col("a.key"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.key").alias("key"), F.col("a.n_rows").alias("n_rows"))
+        .agg((F.count("b.key") + F.lit(1)).cast("int").alias("rank"))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w))
-        .crossJoin(F.broadcast(totals))
+        ranked.crossJoin(F.broadcast(totals))
         .select(
             F.col("rank").cast("int").alias("rank"),
-            F.col(key_col).alias("key"),
+            "key",
             "n_rows",
             F.expr(f"CAST((n_rows * {scale}L) DIV __total AS BIGINT)").alias(
                 "share_ppm"

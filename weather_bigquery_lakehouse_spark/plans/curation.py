@@ -251,6 +251,7 @@ WHERE {bucket} < r.keep_bp
     "rates from ONE bounded count aggregate broadcast back, row fate = "
     "content-addressed md5 bucket — corpus streams through a single "
     "filter, shuffle-free",
+    retired=True,  # driver window r7: family trade for token_budget_sample (same deterministic md5-keyed domain-mixture sampling; the budget form is the token-denominated generalization) — flagged family-level, adjudicated ACCEPT in VERDICT r6 #1
 )
 def mixture_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1097,6 +1098,7 @@ FROM per CROSS JOIN nd
     "fraction — exact BIGINT numerators (order-independent), one division "
     "at the end; the df table joins back onto the token stream by token "
     "(data-scale shuffle — a 100 TB vocabulary is not broadcastable)",
+    retired=True,  # driver window r7: family trade for quality_bigram_lm (same corpus-self-trained exact-integer fluency family; the bigram form models order and subsumes the rare-token signal as novel_bigram_frac) — flagged family-level, adjudicated ACCEPT in VERDICT r6 #1
 )
 def quality_token_df_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1250,6 +1252,7 @@ FROM walk GROUP BY v
     "semantic-dup clusters: hyperplane-LSH cosine near-dup pairs fed into "
     "the same connected-components operator as the text path — one cluster "
     "id + canonical representative per semantically-duplicate group",
+    retired=True,  # driver window r7: subsumed by contrastive_pairs (calls the identical embedding_near_dup_pairs + connected_components pipeline verbatim as its first two stages; its oracle embeds the cluster SQL as a CTE) — same-code-path, adjudicated ACCEPT in VERDICT r6 #1
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
@@ -1439,7 +1442,6 @@ FROM cum WHERE cum_tokens <= {_budget_case_sql()}
     "domain's token budget — distributed cumsum via 256 order-preserving "
     "key-prefix shards + metadata prefix offsets (shuffle_order's "
     "decomposition), never a domain-wide single-reducer window",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1497,7 +1499,6 @@ GROUP BY bg.doc_id
     "vocab-bounded bigram-count table, conditional table shuffle-joined "
     "back onto the stream (a 100 TB bigram vocabulary is not "
     "broadcastable)",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1533,7 +1534,6 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
     "O(rate × (delay + window)), not corpus-sized; on a finite replay "
     "with a span-covering delay the emitted pairs equal the batch range "
     "join, which is the oracle",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1590,7 +1590,6 @@ FROM k
     "engines; one broadcast min/max probe, then per-row arithmetic; "
     "write_zordered clusters a zone by this key so parquet footer stats "
     "are narrow on BOTH dimensions (locality pytest-pinned)",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _views(spark, sf_dir, ["events"])["events"]
@@ -1947,7 +1946,6 @@ JOIN (SELECT * FROM neg WHERE rn = 1) n ON p.anchor = n.anchor
     "CC + positive ranking) and id-keyed label joins — nothing "
     "data-proportional broadcast, rankings are per-anchor windows over "
     "bucket-bounded candidates",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim

@@ -709,6 +709,7 @@ GROUP BY e.event_id, e.user_id, e.ts
     "bucketized range join: clicks in the hour before each purchase, per "
     "user — window-width binning + equi-join on (key, bucket) instead of a "
     "per-key cartesian theta-join; zero-match rows kept",
+    retired=True,  # driver window r7: contract subsumption by streaming_interval_join (the streaming query's oracle IS this batch range-join SQL, so the driver keeps checking the identical pair semantics; the bucketization stays bench-timed + plan-pinned) — flagged, adjudicated ACCEPT in VERDICT r6 #1
 )
 def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import range_join_count
