@@ -746,6 +746,18 @@ def test_bloom_hits_are_superset_of_exact_hits(spark):
         assert b.n_bloom_hits >= exact[i].n_contaminated
 
 
+def test_bloom_saturation_guard_raises_with_sizing_hint(spark):
+    # A filter too narrow for the eval set must fail loudly (near-1 FPR
+    # would silently flag every training doc), and the message must carry
+    # the m that restores ~1% FPR; max_fill=1.0 opts back in.
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="saturated.*m >= \\d+"):
+        cu.decontaminate_bloom(docs, m=64)
+    assert cu.decontaminate_bloom(docs, m=64, max_fill=1.0).count() > 0
+
+
 def test_bloom_flags_eval_copy_and_is_deterministic(spark):
     df = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),

@@ -762,23 +762,26 @@ def test_versioned_swap_time_travel_and_expiry(spark, tmp_path):
     assert land([1]) == 1  # first commit: nothing displaced, still v1 id
     assert land([1, 2]) == 2
     assert land([1, 2, 3]) == 3
-    # current = third landing; v1/v2 archive the first two
+    # Delta convention: version N = state AFTER commit N, archived or not
     assert {r.x for r in read_snapshot(spark, zone).collect()} == {1, 2, 3}
-    assert {r.x for r in read_snapshot(spark, zone, 2).collect()} == {1}
-    assert {r.x for r in read_snapshot(spark, zone, 3).collect()} == {1, 2}
-    assert list_snapshots(zone) == [2, 3]
+    assert {r.x for r in read_snapshot(spark, zone, 1).collect()} == {1}
+    assert {r.x for r in read_snapshot(spark, zone, 2).collect()} == {1, 2}
+    assert {r.x for r in read_snapshot(spark, zone, 3).collect()} == {1, 2, 3}
+    assert list_snapshots(zone) == [1, 2]  # archived only; 3 is current
 
-    assert expire_snapshots(zone, keep=1) == [2]
-    assert list_snapshots(zone) == [3]
+    assert expire_snapshots(zone, keep=1) == [1]
+    assert list_snapshots(zone) == [2]
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="not retained"):
-        read_snapshot(spark, zone, 2)
+        read_snapshot(spark, zone, 1)
 
     # full expiry must not recycle ids
     expire_snapshots(zone, keep=0)
     assert land([9]) == 4
-    assert list_snapshots(zone) == [4]  # the displaced third landing
+    # the displaced third landing keeps the id it was assigned at commit 3
+    assert list_snapshots(zone) == [3]
+    assert {r.x for r in read_snapshot(spark, zone, 3).collect()} == {1, 2, 3}
 
 
 def test_versioned_swap_crash_window_recovers_with_archive_intact(spark, tmp_path):
@@ -806,3 +809,47 @@ def test_versioned_swap_crash_window_recovers_with_archive_intact(spark, tmp_pat
     assert recover_swap(zone) == "promoted_next"
     assert {r.x for r in read_snapshot(spark, zone).collect()} == {2}
     assert 99 in list_snapshots(zone)  # archived copy survived recovery
+
+
+def test_versioned_swap_stale_current_marker_never_collides(spark, tmp_path):
+    """Torn-commit window with the CURRENT marker: archive happened (the
+    displaced v1 is safe under its own id) but promote/marker-update did
+    not — recovery promotes .next, leaving CURRENT stale at 1. The next
+    commit must detect that v1 is already archived and assign the
+    displaced snapshot a FRESH id instead of overwriting the archive."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import (
+        _versions_dir,
+        commit_versioned_swap,
+        current_version,
+        list_snapshots,
+        read_snapshot,
+        recover_swap,
+    )
+
+    zone = str(tmp_path / "gold")
+
+    def write_next(vals):
+        spark.createDataFrame([(v,) for v in vals], "x long").coalesce(1).write.parquet(
+            zone + ".next"
+        )
+
+    write_next([1])
+    assert commit_versioned_swap(zone) == 1
+    write_next([2])
+    # simulate the protocol's own crash point: archive-first completed
+    # (v1 lands under its committed id), promote + marker update lost
+    os.rename(zone, os.path.join(_versions_dir(zone), "v000001"))
+    assert recover_swap(zone) == "promoted_next"
+    assert current_version(zone) == 1  # stale — names the archived v1
+    write_next([3])
+    v = commit_versioned_swap(zone)
+    # archive ids stay unique: v1 is the true commit-1 state, the
+    # marker-less {2} snapshot got a fresh id, and nothing was clobbered
+    assert {r.x for r in read_snapshot(spark, zone, 1).collect()} == {1}
+    assert {r.x for r in read_snapshot(spark, zone).collect()} == {3}
+    archived = list_snapshots(zone)
+    assert len(archived) == len(set(archived)) == 2 and v not in archived
+    fresh = max(a for a in archived if a != 1)
+    assert {r.x for r in read_snapshot(spark, zone, fresh).collect()} == {2}

@@ -633,6 +633,21 @@ def test_pq_adc_exact_when_vectors_are_codewords(spark):
         assert [n for _, n in ranked] == [n for _, n in trued]
 
 
+def test_pq_incomplete_codebook_raises(spark):
+    """Sparse / non-zero-based ids starve the id-prefix codebook — the
+    operator must fail loudly, not return degraded or empty results."""
+    import pytest as _pytest
+
+    from weather_bigquery_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i)] * 8) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="codebook incomplete.*0 of 4"):
+        pq_topk(emb, emb.limit(1), dim=8, m=4, n_codes=4)
+
+
 def test_contrastive_pairs_hardest_positive_and_negative(spark):
     from weather_bigquery_lakehouse_spark.operators import similarity as sim
 

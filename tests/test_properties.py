@@ -446,7 +446,11 @@ def test_bloom_no_false_negatives_any_filter_width(spark, docs, m):
     rows = [(i, " ".join(ws), "en") for i, ws in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
     exact = {r.doc_id: r for r in cu.decontaminate_ngram_overlap(df).collect()}
-    bloom = {r.doc_id: r for r in cu.decontaminate_bloom(df, m=m).collect()}
+    # max_fill=1.0 disables the saturation guard: this test deliberately
+    # drives the filter into saturation to prove the error stays one-sided
+    bloom = {
+        r.doc_id: r for r in cu.decontaminate_bloom(df, m=m, max_fill=1.0).collect()
+    }
     assert set(bloom) == set(exact)
     for i, b in bloom.items():
         assert b.n_shingles == exact[i].n_shingles

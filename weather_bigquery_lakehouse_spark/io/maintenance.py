@@ -85,7 +85,9 @@ def _versions_dir(path: str) -> str:
 
 
 def list_snapshots(path: str) -> list[int]:
-    """Version numbers currently retained for ``path``, oldest first."""
+    """ARCHIVED version numbers retained for ``path``, oldest first (the
+    current snapshot's version is not listed here — it lives at ``path``
+    and is named by the ``CURRENT`` marker)."""
     vdir = _versions_dir(path)
     if not os.path.isdir(vdir):
         return []
@@ -94,11 +96,40 @@ def list_snapshots(path: str) -> list[int]:
     )
 
 
+def _write_marker(fname: str, value: int) -> None:
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(value))
+    os.replace(tmp, fname)
+
+
+def current_version(path: str) -> int | None:
+    """Version number of the snapshot currently at ``path`` (None for a
+    zone that has never gone through :func:`commit_versioned_swap`, or
+    whose ``CURRENT`` marker was lost to a torn commit)."""
+    fname = os.path.join(_versions_dir(path.rstrip("/")), "CURRENT")
+    if not os.path.isfile(fname):
+        return None
+    with open(fname) as fh:
+        raw = fh.read().strip()
+    return int(raw) if raw else None
+
+
 def commit_versioned_swap(path: str, keep: int | None = None) -> int:
     """``commit_swap`` with time travel: the replaced snapshot is archived
     as an immutable version instead of deleted — Delta/Iceberg snapshot
     retention reduced to its filesystem core (on an object store this
     step IS the table format's commit; locally it is two renames).
+
+    Version semantics follow the Delta/Iceberg convention: **version N is
+    the table state AFTER commit N.** Each commit assigns the NEW current
+    snapshot the next number and records it in a ``CURRENT`` marker; when
+    that snapshot is later displaced it is archived under the number it
+    was assigned at ITS OWN commit, so ``read_snapshot(path, N)`` always
+    yields what commit N produced — whether N is archived or still
+    current. (A pre-versioning snapshot with no marker, or a marker lost
+    to a torn commit, is archived under a fresh number — ids never
+    collide or recycle.)
 
     Ordering is archive-FIRST: rename ``path`` into the versions dir,
     THEN promote ``path + '.next'``. A crash between the two leaves
@@ -108,9 +139,10 @@ def commit_versioned_swap(path: str, keep: int | None = None) -> int:
     would instead let recovery delete the only archive candidate).
 
     Version numbers are monotone across expiry: a ``SEQ`` file persists
-    the last assigned number (written temp + rename), so expiring every
-    snapshot can never recycle a version id. Returns the new current's
-    version number; ``keep`` bounds retention (oldest pruned first).
+    the highest assigned number (written temp + rename), so expiring
+    every snapshot can never recycle a version id. Returns the new
+    current's version number; ``keep`` bounds retention (oldest pruned
+    first).
 
     The versions dir is a SIBLING (``<path>._versions``) — outside the
     zone, so readers of ``path`` never list it, and zone maintenance
@@ -128,14 +160,23 @@ def commit_versioned_swap(path: str, keep: int | None = None) -> int:
         with open(seq_file) as fh:
             last = int(fh.read().strip() or 0)
     existing = list_snapshots(path)
-    version = max([last] + existing) + 1
-    tmp = seq_file + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, seq_file)
+    cur = current_version(path)
+    floor = max([last] + existing + ([cur] if cur is not None else []))
+    arch = None
     if os.path.isdir(path):
-        os.rename(path, os.path.join(vdir, f"v{version:06d}"))
+        # archive the displaced snapshot under the id assigned at its own
+        # commit; fall back to a fresh id when that is unknown (legacy
+        # zone) or already taken (stale marker after a torn commit)
+        arch = cur
+        if arch is None or arch in existing:
+            floor += 1
+            arch = floor
+    version = floor + 1
+    _write_marker(seq_file, version)
+    if os.path.isdir(path):
+        os.rename(path, os.path.join(vdir, f"v{arch:06d}"))
     os.rename(nxt, path)
+    _write_marker(os.path.join(vdir, "CURRENT"), version)
     if keep is not None:
         expire_snapshots(path, keep)
     return version
@@ -155,15 +196,17 @@ def expire_snapshots(path: str, keep: int) -> list[int]:
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
-    """Read ``path`` as of ``version`` (None → current). Raises if the
-    requested version was expired or never existed."""
-    if version is None:
+    """Read the state AFTER commit ``version`` (None → current). The
+    current version reads ``path`` itself; earlier versions read the
+    archive. Raises if the requested version was expired or never
+    existed."""
+    if version is None or version == current_version(path):
         return spark.read.parquet(path.rstrip("/"))
     vpath = os.path.join(_versions_dir(path), f"v{version:06d}")
     if not os.path.isdir(vpath):
         raise ValueError(
             f"snapshot v{version} of {path!r} is not retained "
-            f"(have: {list_snapshots(path)})"
+            f"(have: {list_snapshots(path)}, current: {current_version(path)})"
         )
     return spark.read.parquet(vpath)
 

@@ -86,9 +86,12 @@ def write_zordered(
 
     if "__zkey" in df.columns:
         raise ValueError("input already has column '__zkey' — rename it first")
-    keyed = zorder_key_frame(
-        df, col_a, col_b, bits=bits or ZORDER_BITS, key_name="__zkey"
-    )
+    bits = ZORDER_BITS if bits is None else bits
+    if not 0 < bits <= 31:
+        # 2*bits interleaved must stay within BIGINT (and bits=0 would
+        # silently collapse every row onto one z-key)
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    keyed = zorder_key_frame(df, col_a, col_b, bits=bits, key_name="__zkey")
     out = keyed.repartitionByRange(n_files, F.col("__zkey")).sortWithinPartitions(
         "__zkey"
     )

@@ -1203,6 +1203,7 @@ def decontaminate_bloom(
     j: int = BLOOM_J,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_fill: float = 0.5,
 ) -> DataFrame:
     """Bloom-filter decontamination — the constant-memory scale path.
 
@@ -1217,6 +1218,16 @@ def decontaminate_bloom(
     positive drops a clean training doc but an eval doc can never leak
     through.
 
+    **Callers must scale ``m`` with the eval-shingle cardinality n**: the
+    error stays one-sided at any fill, but a saturated filter flags
+    essentially every training doc — at ``j=3``, ``m ≈ 10·n`` bits gives
+    ~1.7% FPR and ``m ≈ 16·n`` gives ~0.5%. The default ``m`` suits
+    n ≲ 6·10³; the guard below RAISES when the built filter's observed
+    fill exceeds ``max_fill`` (estimated FPR ``fill^j``), reporting the
+    inferred n and the power-of-two ``m`` that restores ~1% — counting
+    set bits is one aggregate over the ≤ ``m``-row filter frame, paid
+    once against the shared eval-shingle checkpoint.
+
     Determinism: the probe hashes are salted md5 arithmetic, so the filter
     — and therefore every false positive — is bit-identical across
     engines; the DuckDB oracle rebuilds the same filter and the hit sets
@@ -1229,9 +1240,23 @@ def decontaminate_bloom(
     combinable per-doc aggregates; nothing data-proportional is ever
     broadcast or collected.
     """
+    import math
+
     eval_shingles, train = _eval_train_shingles(docs, eval_pct, k, id_col, text_col)
     pos = [sketch_hash(F.col("shingle"), f"bloom{i}|", m) for i in range(j)]
     bloom = eval_shingles.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    n_set = bloom.count()
+    fill = n_set / m
+    if fill > max_fill:
+        n_est = -m / j * math.log(max(1e-12, 1.0 - fill))
+        m_sugg = 1 << math.ceil(math.log2(10 * max(n_est, 1)))
+        raise ValueError(
+            f"Bloom filter saturated: {n_set}/{m} bits set (fill "
+            f"{fill:.2f} > max_fill {max_fill}; estimated FPR "
+            f"{fill ** j:.2f}, ~{n_est:,.0f} eval shingles) — pass "
+            f"m >= {m_sugg} (≈10·n bits for ~1% FPR at j=3) or raise "
+            f"max_fill to accept the error rate"
+        )
     cand = (
         train.select("shingle")
         .distinct()

@@ -84,6 +84,8 @@ def zorder_key_frame(
     FIRST so the 2·bits-term interleave tree references cheap column
     refs, not 2·bits re-evaluations of the quantization (the engine's
     expression-duplication rule)."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31 (2·bits within BIGINT), got {bits}")
     a = F.col(col_a) if isinstance(col_a, str) else col_a
     b = F.col(col_b) if isinstance(col_b, str) else col_b
     stamped = df.select("*", a.cast("bigint").alias("__za"), b.cast("bigint").alias("__zb"))

@@ -475,11 +475,21 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    cb = F.broadcast(
-        _subspaces(
-            embeddings.where(F.col(id_col) < n_codes), "code_id", m, sub, id_col, vec_col
-        ).select("sub_id", "code_id", F.col("__sv").alias("__cv"))
-    )
+    cb_frame = _subspaces(
+        embeddings.where(F.col(id_col) < n_codes), "code_id", m, sub, id_col, vec_col
+    ).select("sub_id", "code_id", F.col("__sv").alias("__cv"))
+    # the id-prefix codebook stand-in silently degrades with sparse or
+    # non-zero-based ids (an empty codebook nulls the whole output) —
+    # fail loudly instead; the count is one job over ≤ m·n_codes rows
+    n_cb = cb_frame.count()
+    if n_cb != m * n_codes:
+        raise ValueError(
+            f"codebook incomplete: found {n_cb // m if m else 0} of "
+            f"{n_codes} codewords ({n_cb}/{m * n_codes} subvectors) — ids "
+            f"0..{n_codes - 1} must all exist in {id_col!r}; remap ids or "
+            f"lower n_codes"
+        )
+    cb = F.broadcast(cb_frame)
     dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
     corpus_codes = (
         _subspaces(embeddings, "neighbor_id", m, sub, id_col, vec_col)
