@@ -175,8 +175,25 @@ def _reset_chunk_index_state(sf_dir: str) -> None:
             shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
 
 
+def _reset_pair_cluster_cache(_sf_dir: str) -> None:
+    """embedding_dup_clusters OWNS the iterative pair+CC cost in this
+    record: purge the shared cluster memo before each of its reps so its
+    median times the cold build. The sibling audits (contrastive_pairs,
+    cluster_label_purity) run AFTER it in EXTENDED and are timed over the
+    warm shared frame — the production shape, where one registry sweep
+    derives clusters once (round-6 verdict #5)."""
+    from weather_bigquery_lakehouse_spark.operators.similarity import (
+        _PAIR_CLUSTER_CACHE,
+    )
+
+    _PAIR_CLUSTER_CACHE.clear()
+
+
 # per-query state reset run before EACH rep (outside the timed section)
-PRE_REP = {"streaming_chunk_index": _reset_chunk_index_state}
+PRE_REP = {
+    "streaming_chunk_index": _reset_chunk_index_state,
+    "embedding_dup_clusters": _reset_pair_cluster_cache,
+}
 
 
 def main() -> None:

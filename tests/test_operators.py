@@ -633,6 +633,29 @@ def test_pq_adc_exact_when_vectors_are_codewords(spark):
         assert [n for _, n in ranked] == [n for _, n in trued]
 
 
+def test_embedding_pair_clusters_memo_shares_work(spark):
+    """The audit family's shared front end: same cache_key → the SAME
+    checkpointed frames come back (the CC iteration runs once per sweep);
+    no key → fresh frames; results identical either way."""
+    from weather_bigquery_lakehouse_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]), (3, [0.01, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    planes = [[0.3, 0.7]]
+    sim._PAIR_CLUSTER_CACHE.clear()
+    p1, l1 = sim.embedding_pair_clusters(emb, planes, 0.3, cache_key="k")
+    p2, l2 = sim.embedding_pair_clusters(emb, planes, 0.3, cache_key="k")
+    assert p1 is p2 and l1 is l2  # memo hit: shared WORK, not a rebuild
+    p3, l3 = sim.embedding_pair_clusters(emb, planes, 0.3)
+    assert p3 is not p1 and l3 is not l1  # no key → no memo
+    key_rows = {(r.node, r.comp) for r in l1.collect()}
+    fresh_rows = {(r.node, r.comp) for r in l3.collect()}
+    assert key_rows == fresh_rows and len(key_rows) == 4
+    sim._PAIR_CLUSTER_CACHE.clear()
+
+
 def test_pq_incomplete_codebook_raises(spark):
     """Sparse / non-zero-based ids starve the id-prefix codebook — the
     operator must fail loudly, not return degraded or empty results."""

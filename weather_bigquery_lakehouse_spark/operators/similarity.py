@@ -525,12 +525,65 @@ def pq_topk(
     )
 
 
+#: One-slot memo for the shared pair+CC stage. The embedding-audit family
+#: (dup clusters, label purity, contrastive mining) consumes the SAME
+#: (pairs, labels) frames; without sharing, one registry sweep pays the
+#: iterative CC latency floor three times (measured 6.5 + 6.0 + 6.8 s at
+#: sf0.1 — round-6 verdict #5). One slot bounds the executor blocks the
+#: cached localCheckpoints hold; the key carries the applicationId so a
+#: new session (whose executors no longer hold the old blocks) can never
+#: resurrect a dead checkpoint.
+_PAIR_CLUSTER_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def embedding_pair_clusters(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: object = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the embedding-audit family: LSH-bucketed
+    near-dup ``pairs`` (localCheckpointed — consumed by CC AND by the
+    callers' own rankings) plus their connected-component ``labels``
+    (node, comp). Pass ``cache_key`` (the caller-owned identity of the
+    input, e.g. the dataset path) to memoize the checkpointed frames so
+    sibling audits in the same session reuse the WORK, not just the code
+    — results are deterministic either way, only wall-clock changes."""
+    from .dedup import connected_components
+
+    key = None
+    if cache_key is not None:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            cache_key,
+            tuple(tuple(p) for p in planes),
+            threshold,
+            id_col,
+            vec_col,
+        )
+        hit = _PAIR_CLUSTER_CACHE.get(key)
+        if hit is not None:
+            return hit
+    pairs = embedding_near_dup_pairs(
+        embeddings, planes, threshold, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    out = (pairs, labels)
+    if key is not None:
+        _PAIR_CLUSTER_CACHE.clear()
+        _PAIR_CLUSTER_CACHE[key] = out
+    return out
+
+
 def contrastive_pairs(
     embeddings: DataFrame,
     planes: list[list[float]],
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: object = None,
 ) -> DataFrame:
     """Hard-pair mining for contrastive embedding training: for every
     vector that belongs to a near-dup cluster AND shares an LSH bucket
@@ -558,12 +611,9 @@ def contrastive_pairs(
     Similarities are rounded to ``SIM_DECIMALS`` before ranking and ties
     break on ids, so the mined pairs are engine-portable.
     """
-    from .dedup import connected_components
-
-    pairs = embedding_near_dup_pairs(
-        embeddings, planes, threshold, id_col, vec_col
-    ).localCheckpoint(eager=True)
-    labels = connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    pairs, labels = embedding_pair_clusters(
+        embeddings, planes, threshold, id_col, vec_col, cache_key=cache_key
+    )
 
     pos_cand = pairs.select(
         F.col("vec_a").alias("anchor"), F.col("vec_b").alias("partner"), "cosine_sim"

@@ -1251,17 +1251,19 @@ FROM walk GROUP BY v
     _embedding_cluster_sql(),
     "semantic-dup clusters: hyperplane-LSH cosine near-dup pairs fed into "
     "the same connected-components operator as the text path — one cluster "
-    "id + canonical representative per semantically-duplicate group",
+    "id + canonical representative per semantically-duplicate group; OWNS "
+    "the memoized pair+CC stage (embedding_pair_clusters) the sibling "
+    "audits reuse, so one sweep pays the iterative CC floor once",
     retired=True,  # driver window r7: subsumed by contrastive_pairs (calls the identical embedding_near_dup_pairs + connected_components pipeline verbatim as its first two stages; its oracle embeds the cluster SQL as a CTE) — same-code-path, adjudicated ACCEPT in VERDICT r6 #1
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as dd
     from ..operators import similarity as sim
     from .extensions import _EMB_DUP_THRESHOLD, _PLANES
 
     emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
-    pairs = sim.embedding_near_dup_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
-    labels = dd.connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    _pairs, labels = sim.embedding_pair_clusters(
+        emb, _PLANES, threshold=_EMB_DUP_THRESHOLD, cache_key=sf_dir
+    )
     return labels.select(
         F.col("node").alias("vec_id"),
         F.col("comp").cast("bigint").alias("cluster_id"),
@@ -1943,7 +1945,9 @@ JOIN (SELECT * FROM neg WHERE rn = 1) n ON p.anchor = n.anchor
     "= the highest-cosine same-LSH-bucket non-cluster-mate (by construction "
     "scoring < the dup threshold, so a negative can never be a mislabeled "
     "positive); reuses the bucket-bounded pair stage (checkpointed once for "
-    "CC + positive ranking) and id-keyed label joins — nothing "
+    "CC + positive ranking, memoized session-wide via "
+    "embedding_pair_clusters so sibling audits share the WORK) and "
+    "id-keyed label joins — nothing "
     "data-proportional broadcast, rankings are per-anchor windows over "
     "bucket-bounded candidates",
 )
@@ -1952,7 +1956,9 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions import _EMB_DUP_THRESHOLD, _PLANES
 
     emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
-    return sim.contrastive_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
+    return sim.contrastive_pairs(
+        emb, _PLANES, threshold=_EMB_DUP_THRESHOLD, cache_key=sf_dir
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2007,20 +2013,21 @@ FROM ranked WHERE rn = 1
     "clustering-quality audit: per near-dup cluster, the dominant label's "
     "share (purity) — low purity flags over-merged clusters (an LSH bucket "
     "cap or threshold regression) before they poison a leakage-safe split; "
-    "reuses the embedding pair + connected-components pipeline verbatim, "
-    "then one combinable (cluster,label) count with a per-cluster "
-    "WindowGroupLimit top-1",
+    "reuses the embedding pair + connected-components pipeline verbatim "
+    "(memoized via embedding_pair_clusters — shares the WORK with the "
+    "sibling audits, not just the code), then one combinable "
+    "(cluster,label) count with a per-cluster WindowGroupLimit top-1",
     retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
 )
 def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as dd
     from ..operators import similarity as sim
     from .extensions import _EMB_DUP_THRESHOLD, _PLANES
     from pyspark.sql.window import Window
 
     emb = _views(spark, sf_dir, ["embeddings"])["embeddings"]
-    pairs = sim.embedding_near_dup_pairs(emb, _PLANES, threshold=_EMB_DUP_THRESHOLD)
-    clusters = dd.connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    _pairs, clusters = sim.embedding_pair_clusters(
+        emb, _PLANES, threshold=_EMB_DUP_THRESHOLD, cache_key=sf_dir
+    )
     member = clusters.select(
         F.col("node").alias("vec_id"), F.col("comp").cast("bigint").alias("cluster_id")
     ).join(emb.select("vec_id", "label"), "vec_id")
