@@ -63,6 +63,12 @@ SIZING = {
         "band_rows": _dd.BAND_ROWS,
         "n_bands": _dd.N_HASHES // _dd.BAND_ROWS,
     },
+    "similarity_ivfpq_topk": {
+        "n_cells": _ext._N_CELLS,
+        "n_probe_cells": _ext._N_IVF_PROBE_CELLS,
+        "m": _ext._PQ_M,
+        "n_codes": _ext._PQ_CODES,
+    },
 }
 
 
@@ -155,6 +161,8 @@ EXTENDED = [
     "cluster_label_purity",
     "mixture_drift",
     "skew_key_report",
+    # round-7 staged additions
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -633,6 +633,43 @@ def test_pq_adc_exact_when_vectors_are_codewords(spark):
         assert [n for _, n in ranked] == [n for _, n in trued]
 
 
+def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
+    """IVF-PQ's one exactness anchor: probing EVERY cell removes the IVF
+    pruning, so the output must equal exhaustive-ADC pq_topk row for row
+    (same codebook, same integer-micro distances, same tie-breaks) — and
+    narrowing the probe width can only lose candidates, never invent or
+    re-score them."""
+    from weather_bigquery_lakehouse_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.where("vec_id < 4")
+    kw = dict(dim=64, m=8, n_codes=16, k=5)
+    full = {
+        (r.query_id, r.neighbor_id, r.approx_l2sq, r.rank)
+        for r in pq_topk(emb, probes, **kw).collect()
+    }
+    composed = {
+        (r.query_id, r.neighbor_id, r.approx_l2sq, r.rank)
+        for r in ivfpq_topk(emb, probes, n_cells=8, n_probe_cells=8, **kw).collect()
+    }
+    assert composed == full and len(full) == 20
+    # pruned probe: every scored pair keeps the identical ADC distance
+    # (IVF narrows the candidate set; it never re-scores) — compare
+    # against the UNranked exhaustive table, since pruning can promote
+    # pairs outside the exhaustive top-k
+    all_dist = {
+        (r.query_id, r.neighbor_id): r.approx_l2sq
+        for r in pq_topk(emb, probes, dim=64, m=8, n_codes=16, k=10**6).collect()
+    }
+    pruned = ivfpq_topk(emb, probes, n_cells=8, n_probe_cells=2, **kw).collect()
+    assert 0 < len(pruned) <= len(full)
+    for r in pruned:
+        assert all_dist[(r.query_id, r.neighbor_id)] == r.approx_l2sq
+
+
 def test_embedding_pair_clusters_memo_shares_work(spark):
     """The audit family's shared front end: same cache_key → the SAME
     checkpointed frames come back (the CC iteration runs once per sweep);

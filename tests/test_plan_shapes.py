@@ -267,6 +267,35 @@ def test_contrastive_pairs_windows_group_limit_no_cartesian(spark, sf_dir):
     assert "windowspecdefinition(," not in plan
 
 
+def test_ivfpq_vectors_cross_one_shuffle_and_probe_tables_broadcast(spark, sf_dir):
+    """IVF-PQ's memory contract: float vectors cross exactly ONE
+    shuffle — the coarse-assignment aggregate BEFORE encode (the encode
+    argmin then reuses that partitioning; a second vector-bearing
+    exchange would mean the corpus moved as floats after compression).
+    The probe distance table and the (query, cell) list must broadcast
+    onto the code stream (an SMJ there re-shuffles the corpus-scale code
+    side to attach probe-bounded state)."""
+    plan = _plan(QUERIES["similarity_ivfpq_topk"].fn(spark, sf_dir), "formatted")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # formatted detail: each non-broadcast Exchange block lists its Input
+    # columns. Exactly three are allowed — the coarse-assign aggregate
+    # (the ONE place the vector moves, as its first() partial-agg buffer),
+    # the probe-bounded cell-rank window, and the final top-k window; the
+    # vector buffer (first#N) may appear in only the first
+    blocks = [
+        b
+        for b in plan.split("\n\n")
+        if b.startswith("(") and ") Exchange" in b.split("\n")[0]
+    ]
+    assert len(blocks) == 3, "expected 3 shuffles, got %d" % len(blocks)
+    vec_exchanges = [b for b in blocks if "first#" in b or "embedding#" in b]
+    assert len(vec_exchanges) == 1, (
+        "vector buffer crossed %d exchanges" % len(vec_exchanges)
+    )
+    assert "neighbor_id" in vec_exchanges[0]  # it IS the assign shuffle
+
+
 def test_corpus_datasheet_is_one_scan_one_tokenize(spark, sf_dir):
     """The datasheet must be a single corpus pass: one FileScan (the naive
     compose-and-cross-join shape costs 5 full scans at 100 TB) and ONE
