@@ -163,6 +163,7 @@ EXTENDED = [
     "skew_key_report",
     # round-7 staged additions
     "similarity_ivfpq_topk",
+    "silver_quality_documents",
 ]
 
 

@@ -764,7 +764,7 @@ def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
     from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
     from weather_bigquery_lakehouse_spark.plans.extensions import (
         _N_MULTIPROBE, _N_PROBES, _PLANES, _TOP_K, _N_CELLS,
-        _N_IVF_PROBE_CELLS,
+        _N_IVF_PROBE_CELLS, _PQ_DIM, _PQ_M, _PQ_CODES,
     )
     from weather_bigquery_lakehouse_spark.operators import similarity as sim
     from pyspark.sql import functions as F
@@ -792,9 +792,29 @@ def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
             n_probe_cells=_N_IVF_PROBE_CELLS,
         ).collect()
     }
+    # the PQ family is scored against the METRIC-MATCHED L2 ground truth
+    exact_l2 = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.l2_topk(emb, probes, k=_TOP_K).collect()
+    }
+    pq_kw = dict(dim=_PQ_DIM, m=_PQ_M, n_codes=_PQ_CODES, k=_TOP_K)
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(emb, probes, **pq_kw).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivfpq_topk(
+            emb, probes, n_cells=_N_CELLS,
+            n_probe_cells=_N_IVF_PROBE_CELLS, **pq_kw
+        ).collect()
+    }
     denom = _TOP_K * _N_PROBES
+    assert len(report) == 4
     assert report["lsh_multiprobe"].recall_at_k == round(len(lsh & exact) / denom, 6)
     assert report["ivf_multiprobe"].recall_at_k == round(len(ivf & exact) / denom, 6)
+    assert report["pq_adc"].recall_at_k == round(len(pq & exact_l2) / denom, 6)
+    assert report["ivfpq"].recall_at_k == round(len(ivfpq & exact_l2) / denom, 6)
     assert all(0.0 < r.recall_at_k <= 1.0 for r in report.values())
 
 

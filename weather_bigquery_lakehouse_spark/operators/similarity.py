@@ -539,6 +539,45 @@ def pq_topk(
     )
 
 
+def l2_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k squared-L2 neighbors — the metric-matched ground truth
+    for the PQ family's recall measurement: PQ/IVF-PQ approximate L2², so
+    scoring them against the COSINE baseline would conflate quantization
+    error with metric disagreement. Same broadcast cross-join shape as
+    :func:`cosine_topk`; distances quantized to the same integer
+    micro-units as ``pq_topk``'s ADC, so ranking and tie-breaks are
+    bit-portable across engines."""
+    q = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+    )
+    d = F.round(_l2sq(F.col("__q"), F.col("__c")) * 1e6).cast("bigint")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("__d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__d").cast("double") / 1e6, 6).alias("l2sq"),
+            "rank",
+        )
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     probes: DataFrame,

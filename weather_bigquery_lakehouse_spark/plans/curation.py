@@ -1308,6 +1308,102 @@ def _gold_workdir(sf_dir: str) -> str:
     return root
 
 
+# --------------------------------------------------------------------------
+# Silver _quality table driven through the oracle gate (VERDICT r6 #6):
+# the QualityObserver's CollectMetrics accounting — previously pytest-only
+# — lands as a real table and the oracle recomputes every count from the
+# silver INPUT, so a drifted observation, a lost metric, or an
+# append-order bug all hash-fail. Same sink-through-the-gate pattern as
+# training_shards_manifest.
+# --------------------------------------------------------------------------
+
+_SQL_SILVER_QUALITY = """
+WITH pre AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+         CAST(SUM(CASE WHEN doc_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_doc_id,
+         CAST(SUM(CASE WHEN text    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         CAST(SUM(CASE WHEN lang    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+         CAST(SUM(CASE WHEN source  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source,
+         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_n_chars,
+         CAST(SUM(CASE WHEN text   IS NOT NULL AND text   <> trim(text)   THEN 1 ELSE 0 END) AS BIGINT) AS n_untrimmed_text,
+         CAST(SUM(CASE WHEN lang   IS NOT NULL AND lang   <> trim(lang)   THEN 1 ELSE 0 END) AS BIGINT) AS n_untrimmed_lang,
+         CAST(SUM(CASE WHEN source IS NOT NULL AND source <> trim(source) THEN 1 ELSE 0 END) AS BIGINT) AS n_untrimmed_source
+  FROM documents
+),
+mid AS (
+  SELECT doc_id, trim(text) AS text, trim(lang) AS lang,
+         trim(source) AS source, n_chars
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    AND source IS NOT NULL AND n_chars IS NOT NULL
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mid,
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM mid)) AS BIGINT)
+             AS n_out
+  FROM mid
+)
+SELECT 'documents' AS entity,
+       rows_in, n_out AS rows_out,
+       n_null_doc_id, n_null_text, n_null_lang, n_null_source,
+       n_null_n_chars,
+       n_untrimmed_text, n_untrimmed_lang, n_untrimmed_source,
+       CAST(n_mid - n_out AS BIGINT) AS n_duplicate_rows
+FROM pre CROSS JOIN cnt
+"""
+
+
+@_register(
+    "silver_quality_documents",
+    _SQL_SILVER_QUALITY,
+    "the silver tier's _quality accounting driven through the gate: a "
+    "QualityObserver-instrumented trim → null-filter → dedup chain over "
+    "documents writes its silver output AND the 1-row _quality table in "
+    "the SAME action (CollectMetrics — zero extra scans of the input); "
+    "the entry reads _quality back while the oracle recomputes every "
+    "count from the raw input, so the observe points, the metric "
+    "assembly, and the sink all sit under the hash check",
+    retired=True,  # staged round 7: window full; quality accounting was pytest-only (VERDICT r6 #6)
+)
+def silver_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..functions.cleaning import dedupe_rows, drop_null_rows, trim_strings
+    from ..io.writers import write_table
+    from ..pipeline.silver import QualityObserver
+
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    zone = _gold_workdir(sf_dir)
+    # write_report appends (the production contract: one row per run);
+    # the gate needs one deterministic row, so reset the scratch entity
+    shutil.rmtree(
+        os.path.join(zone, "silver", "_quality", "documents"), ignore_errors=True
+    )
+    q = QualityObserver()
+    mid = q.observe_mid(drop_null_rows(trim_strings(q.observe_pre(docs))))
+    cleaned = q.observe_out(dedupe_rows(mid))
+    write_table(
+        cleaned, os.path.join(zone, "silver", "documents"), mode="overwrite"
+    )
+    q.write_report(spark, zone, "documents", "2024-01-01")
+    report = spark.read.parquet(os.path.join(zone, "silver", "_quality", "documents"))
+    return report.select(
+        "entity",
+        "rows_in",
+        "rows_out",
+        "n_null_doc_id",
+        "n_null_text",
+        "n_null_lang",
+        "n_null_source",
+        "n_null_n_chars",
+        "n_untrimmed_text",
+        "n_untrimmed_lang",
+        "n_untrimmed_source",
+        "n_duplicate_rows",
+    )
+
+
 @_register(
     "streaming_gold_user_latest",
     _SQL_STREAM_GOLD,
