@@ -164,6 +164,7 @@ EXTENDED = [
     # round-7 staged additions
     "similarity_ivfpq_topk",
     "silver_quality_documents",
+    "quality_ccnet_buckets",
 ]
 
 

@@ -746,6 +746,42 @@ def test_bloom_hits_are_superset_of_exact_hits(spark):
         assert b.n_bloom_hits >= exact[i].n_contaminated
 
 
+def test_ccnet_buckets_match_python_quantile_math(spark):
+    """Per-domain tercile assignment re-derived independently: collect the
+    LM scores, cut each domain at numpy's linear-interpolated (= SQL
+    quantile_cont = our distributed core) 33/67 points rounded to 6dp,
+    and every doc's bucket must match; every domain must see its own
+    breakpoints (calibration, not a global threshold)."""
+    import numpy as np
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cu.ccnet_quality_buckets(docs).collect()
+    scores = {r.doc_id: r.mean_cond_prob for r in cu.bigram_lm_score(docs).collect()}
+    src = {
+        r.doc_id: r.source for r in docs.select("doc_id", "source").collect()
+    }
+    by_dom: dict[str, list[float]] = {}
+    for i, s in scores.items():
+        by_dom.setdefault(src[i], []).append(s)
+    bp = {
+        d: (
+            round(float(np.percentile(v, 33, method="linear")), 6),
+            round(float(np.percentile(v, 67, method="linear")), 6),
+        )
+        for d, v in by_dom.items()
+    }
+    assert len(out) == len(scores) > 0
+    for r in out:
+        lo, hi = bp[r.source]
+        assert (r.lm_p33, r.lm_p67) == (lo, hi)
+        want = "head" if r.mean_cond_prob > hi else (
+            "middle" if r.mean_cond_prob > lo else "tail"
+        )
+        assert r.bucket == want
+    # the breakpoints genuinely differ across domains (calibration is real)
+    assert len({v for v in bp.values()}) > 1
+
+
 def test_bloom_saturation_guard_raises_with_sizing_hint(spark):
     # A filter too narrow for the eval set must fail loudly (near-1 FPR
     # would silently flag every training doc), and the message must carry

@@ -1074,6 +1074,62 @@ def bigram_lm_score(
     )
 
 
+def ccnet_quality_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    scale: int = 1_000_000,
+    ps: tuple[float, float] = (0.33, 0.67),
+) -> DataFrame:
+    """CCNet's head/middle/tail split, per domain: every document is
+    LM-scored (:func:`bigram_lm_score`), the score distribution is cut at
+    per-DOMAIN quantile breakpoints, and each doc lands in the bucket the
+    curation pipeline actually samples from ("keep head+middle of every
+    shard"). Per-domain calibration is the point — a raw score that is
+    'head' for web crawl may be 'tail' for curated reference text, so a
+    single global threshold systematically starves clean domains.
+
+    Bucket semantics (CCNet: LOWER perplexity = better; our log-free
+    score is a mean transition PROBABILITY, so HIGHER = better):
+    ``head`` when score > p_hi, ``middle`` when p_lo < score ≤ p_hi,
+    ``tail`` otherwise. Breakpoints and scores are both 6dp-rounded
+    doubles built from exact-integer numerators, so the comparisons —
+    and therefore the buckets — are engine-portable.
+
+    Scale shape: the LM stage is the honest data-scale work (documented
+    there); the domain attach is an id-keyed join that reuses the LM
+    stage's doc partitioning; breakpoints come from the distributed
+    grouped-quantile core (a dominant domain SPANS partitions — never a
+    per-domain buffer) and the resulting |domains|-row table broadcasts
+    back for a per-row CASE. Nothing domain-wide ever sits in one task.
+    """
+    from ..functions.profiling import exact_group_quantiles
+
+    p_lo, p_hi = ps
+    lo_col = f"lm_p{int(p_lo * 100)}"
+    hi_col = f"lm_p{int(p_hi * 100)}"
+    scored = bigram_lm_score(docs, text_col, id_col, scale).join(
+        docs.select(F.col(id_col), F.col(domain_col)), id_col
+    )
+    breaks = exact_group_quantiles(
+        scored, domain_col, "mean_cond_prob", [p_lo, p_hi], "lm"
+    )
+    bucket = (
+        F.when(F.col("mean_cond_prob") > F.col(hi_col), F.lit("head"))
+        .when(F.col("mean_cond_prob") > F.col(lo_col), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(breaks), domain_col).select(
+        F.col(id_col),
+        F.col(domain_col),
+        "mean_cond_prob",
+        lo_col,
+        hi_col,
+        bucket.alias("bucket"),
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1603,6 +1603,44 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.bigram_lm_score(docs, scale=_LM_SCALE)
 
 
+_SQL_CCNET_BUCKETS = f"""
+WITH lm AS ({_SQL_BIGRAM_LM}),
+j AS (
+  SELECT lm.doc_id, d.source, lm.mean_cond_prob
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+),
+bp AS (
+  SELECT source,
+         ROUND(quantile_cont(mean_cond_prob, 0.33), 6) AS lm_p33,
+         ROUND(quantile_cont(mean_cond_prob, 0.67), 6) AS lm_p67
+  FROM j GROUP BY source
+)
+SELECT j.doc_id, j.source, j.mean_cond_prob, bp.lm_p33, bp.lm_p67,
+       CASE WHEN j.mean_cond_prob > bp.lm_p67 THEN 'head'
+            WHEN j.mean_cond_prob > bp.lm_p33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN bp USING (source)
+"""
+
+
+@_register(
+    "quality_ccnet_buckets",
+    _SQL_CCNET_BUCKETS,
+    "CCNet's per-domain head/middle/tail split: every doc LM-scored "
+    "(quality_bigram_lm called verbatim), per-SOURCE tercile breakpoints "
+    "from the distributed grouped-quantile core (a dominant domain spans "
+    "partitions — no per-domain buffer), |domains|-row breakpoint table "
+    "broadcast back for a per-row CASE — the calibration that stops a "
+    "single global threshold from starving clean domains; scores and "
+    "breakpoints are 6dp doubles from exact-integer numerators, so "
+    "buckets are engine-portable",
+    retired=True,  # staged round 7: window full; composes two driver-checked parents (quality_bigram_lm + the quantiles_by_event_type core)
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.ccnet_quality_buckets(docs, scale=_LM_SCALE)
+
+
 # --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (streaming twin of the range join)
 # --------------------------------------------------------------------------
