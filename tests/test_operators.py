@@ -552,6 +552,31 @@ def test_ivf_multicell_probe_lifts_recall(spark):
     assert r1 >= 0.8 and r4 >= 0.9, f"recall floor broken: {r1} {r4}"
 
 
+def test_ivfpq_probe_width_widens_candidates_monotonically(spark):
+    """IVF-PQ inherits IVF's recall lever with PQ's scoring: widening
+    n_probe_cells can only ADD (query, neighbor) candidates — the scored
+    set is monotone in P (each probe's cell list is a prefix of its
+    ranked cells), so recall vs the L2 ground truth is non-decreasing
+    and P = n_cells recovers exhaustive ADC exactly (pinned elsewhere)."""
+    import random as pyrandom
+
+    from weather_bigquery_lakehouse_spark.operators.similarity import ivfpq_topk
+
+    rng = pyrandom.Random(11)
+    n, dim = 400, 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where(F.col("vec_id") < 8)
+    kw = dict(dim=dim, n_cells=10, m=4, n_codes=8, k=10**6)
+    sets = {}
+    for p in (1, 3, 10):
+        sets[p] = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(emb, probes, n_probe_cells=p, **kw).collect()
+        }
+    assert sets[1] < sets[3] <= sets[10]  # widening only adds candidates
+
+
 def test_feature_hash_embed_forms_agree(spark):
     """The expression form (per-row HOF, fine for small inputs) and the
     frame form (explode + codegen hash + combinable counts, the corpus
