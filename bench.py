@@ -165,6 +165,8 @@ EXTENDED = [
     "similarity_ivfpq_topk",
     "silver_quality_documents",
     "quality_ccnet_buckets",
+    "dedup_incremental_lsh",
+    "mixture_temperature_sample",
 ]
 
 

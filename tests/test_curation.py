@@ -746,6 +746,36 @@ def test_bloom_hits_are_superset_of_exact_hits(spark):
         assert b.n_bloom_hits >= exact[i].n_contaminated
 
 
+def test_mixture_temperature_flattens_toward_sqrt_shares(spark):
+    """α=0.5 temperature semantics: the smallest domain survives whole,
+    every kept set is the md5-bucket prefix of its domain (deterministic,
+    rerun-stable), and realized domain sizes track n_s·sqrt(n_min/n_s) =
+    sqrt(n_min·n_s) within bucket-quantization error."""
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_by = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    out = cu.mixture_temperature(docs)
+    kept = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    n_min = min(n_by.values())
+    smallest = min(n_by, key=lambda s: n_by[s])
+    assert kept[smallest] == n_by[smallest]  # rate 1.0 exactly
+    for s, n in n_by.items():
+        expect = n * math.sqrt(n_min / n)
+        # md5 buckets are uniform, not exact: allow quantization + hash noise
+        assert abs(kept.get(s, 0) - expect) <= max(6.0, 0.12 * expect), (
+            s, kept.get(s, 0), expect
+        )
+    # deterministic: a second run keeps the identical rows
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in cu.mixture_temperature(docs).select("doc_id").collect()}
+    assert ids1 == ids2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        cu.mixture_temperature(docs, alpha=0.0)
+
+
 def test_ccnet_buckets_match_python_quantile_math(spark):
     """Per-domain tercile assignment re-derived independently: collect the
     LM scores, cut each domain at numpy's linear-interpolated (= SQL

@@ -695,6 +695,40 @@ def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
         assert all_dist[(r.query_id, r.neighbor_id)] == r.approx_l2sq
 
 
+def test_incremental_lsh_equals_full_run_filtered(spark):
+    """The incremental contract: pairs(increment) == full lsh_verified run
+    filtered to new-involving pairs — same jaccard values, no base-base
+    pair ever emitted, link_type consistent with the flags. The corpus
+    slice must actually exercise both link types."""
+    from weather_bigquery_lakehouse_spark.operators import dedup as dd
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = md5_bucket("doc_id", salt="incr|") >= 50  # 50/50 for coverage
+    new_ids = {
+        r.doc_id for r in docs.select("doc_id").where(pred).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.lsh_verified_pairs(docs, threshold=0.5).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r
+        for r in dd.incremental_lsh_pairs(docs, pred, threshold=0.5).collect()
+    }
+    want = {
+        p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
+    }
+    assert {p: r.jaccard for p, r in inc.items()} == want and len(want) > 0
+    kinds = set()
+    for (a, b), r in inc.items():
+        both = (a in new_ids) + (b in new_ids)
+        assert both >= 1  # base-base never emitted
+        assert r.link_type == ("new_new" if both == 2 else "new_base")
+        kinds.add(r.link_type)
+    assert kinds == {"new_new", "new_base"}
+
+
 def test_embedding_pair_clusters_memo_shares_work(spark):
     """The audit family's shared front end: same cache_key → the SAME
     checkpointed frames come back (the CC iteration runs once per sweep);

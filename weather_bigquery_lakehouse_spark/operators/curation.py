@@ -640,6 +640,67 @@ def mixture_balance(
     )
 
 
+def mixture_temperature(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp|",
+) -> DataFrame:
+    """α-temperature domain re-sampling — the multilingual-LM mixture
+    smoothing (target share ∝ n_s^α): flattens a power-law domain
+    distribution so rare domains aren't drowned without hand-writing
+    target shares (``mixture_balance`` is the explicit-targets sibling).
+
+    Downsample-only form: per-domain keep rate ``(n_min / n_s)^(1-α)`` —
+    the SMALLEST domain is kept whole and larger domains are downsampled
+    so the output mixture is exactly the n^α target (kept_s = rate·n_s ∝
+    n_s^α). Row fate is the content-addressed md5 bucket (no ``rand()``).
+
+    Engine parity: at the default α = 0.5 the rate is
+    ``sqrt(n_min / n_s)`` — ONE IEEE-correctly-rounded sqrt of one
+    division, so Python (driver-side rate derivation) and the SQL oracle
+    floor the identical double to the same basis-point integer; there is
+    deliberately NO Σ n^α normalizer anywhere (a float sum's rounding
+    depends on summation order, which SQL does not pin). Other α values
+    go through ``pow``, whose last-ulp behavior is libm-specific — fine
+    for production, not bit-pinned cross-engine.
+
+    Scale shape: one map-side-combined count per domain (bounded rows)
+    collected driver-side, integer basis-point rates broadcast back, the
+    corpus streams through one filter — shuffle-free, like
+    ``mixture_balance``.
+    """
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.select(F.col(source_col).alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }  # bounded: one row per domain
+    if not counts:
+        return df.where(F.lit(False))
+    n_min = min(counts.values())
+    rates = []
+    for s, n in counts.items():
+        ratio = float(n_min) / float(n)
+        rate = math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+        rates.append((s, int(rate * _MIX_BUCKETS)))
+    rate_df = F.broadcast(
+        df.sparkSession.createDataFrame(rates, f"{source_col} string, __keep_bp int")
+    )
+    bucket = md5_bucket(id_col, salt=salt, mod=_MIX_BUCKETS)
+    return (
+        df.join(rate_df, source_col)
+        .where(bucket < F.col("__keep_bp"))
+        .drop("__keep_bp")
+    )
+
+
 def shuffle_order(
     df: DataFrame, id_col: str = "doc_id", seed: str = "shuf42"
 ) -> DataFrame:

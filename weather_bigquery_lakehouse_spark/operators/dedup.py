@@ -155,7 +155,14 @@ def _candidate_pairs_from_sig(
     n_hashes: int,
     band_rows: int,
     max_bucket_size: int | None,
+    flag_col: str | None = None,
 ) -> DataFrame:
+    """``flag_col`` (0/1 column on ``sig``) is the incremental-dedup hook:
+    when set, the banded self-join emits only pairs where AT LEAST ONE
+    side is flagged — per-bucket pair expansion drops from n²/2 to
+    n_flagged·n, and flag-flag=0 (base-base) pairs never materialize.
+    Band hashes and the hot-bucket cap are flag-independent, so the
+    emitted pairs equal the unrestricted run filtered post-hoc."""
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
@@ -170,9 +177,10 @@ def _candidate_pairs_from_sig(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
-    )
+    carry = [flag_col] if flag_col else []
+    banded = sig.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(bands).alias("band")
+    ).select(id_col, *carry, "band.band_idx", "band.band_hash")
     # Materialize once (eager local checkpoint): the occupancy count and
     # both self-join sides reference this frame, and without
     # materialization Spark recomputes the whole tokenize→shingle→signature
@@ -196,13 +204,15 @@ def _candidate_pairs_from_sig(
         )
         banded = banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if flag_col:
+        cond = cond & ((F.col(f"a.{flag_col}") + F.col(f"b.{flag_col}")) >= 1)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
@@ -293,6 +303,81 @@ def lsh_verified_pairs(
         sig, id_col, n_hashes, band_rows, max_bucket_size
     )
     return _jaccard_from_shingles(sh, id_col, threshold, candidates)
+
+
+def incremental_lsh_pairs(
+    df: DataFrame,
+    new_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    k: int = 3,
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup: verified pairs the NEW increment
+    introduces against an already-deduped base — the daily-crawl shape.
+    Re-running ``lsh_verified_pairs`` over base ∪ increment re-pairs the
+    whole corpus every day (base-base pairs were found at base's own
+    ingest); here the increment flag is threaded INTO the banded
+    self-join, so base-base pairs never materialize and verification
+    touches only candidate-involved documents.
+
+    ``new_pred`` is a boolean column expression marking increment rows
+    (e.g. an ingest-date predicate). Output: (doc_a, doc_b, jaccard,
+    link_type) with ``link_type`` ∈ {'new_base', 'new_new'} — new_base
+    links dedup the increment against the index, new_new links dedup
+    within the increment. Equals the full ``lsh_verified_pairs`` run
+    filtered to new-involving pairs (band hashes and the hot-bucket cap
+    are flag-independent; Jaccard is pair-local — pytest-pinned).
+
+    Scale shape: one shared shingle checkpoint (the fused pipeline's
+    pattern); per-bucket pair expansion n_new·n_total instead of
+    n_total²/2; the exact-Jaccard stage shingle-joins ONLY documents that
+    appear in a candidate pair (two left-semi prunes), so verify work is
+    increment-proportional. At warehouse scale the base side's signatures
+    come from the persisted signature table (``minhash_signatures`` at
+    base ingest) instead of being recomputed — the banding, cap, and
+    verify stages are unchanged by that substitution.
+    """
+    flags = df.select(
+        F.col(id_col), new_pred.cast("int").alias("__new")
+    )
+    sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
+    exploded = sh.select(
+        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs).join(flags, id_col)
+    cand = _candidate_pairs_from_sig(
+        sig, id_col, n_hashes, band_rows, max_bucket_size, flag_col="__new"
+    ).localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    verified = _jaccard_from_shingles(
+        sh.join(cand_docs, id_col, "left_semi"), id_col, threshold, cand
+    )
+    link = F.when(
+        (F.col("__na") + F.col("__nb")) == 2, F.lit("new_new")
+    ).otherwise(F.lit("new_base"))
+    return (
+        verified.join(
+            flags.select(F.col(id_col).alias("doc_a"), F.col("__new").alias("__na")),
+            "doc_a",
+        )
+        .join(
+            flags.select(F.col(id_col).alias("doc_b"), F.col("__new").alias("__nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "jaccard", link.alias("link_type"))
+    )
 
 
 def simhash(

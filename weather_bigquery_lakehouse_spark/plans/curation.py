@@ -258,6 +258,42 @@ def mixture_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.mixture_balance(docs, _MIX_TARGETS).select("doc_id", "source")
 
 
+_SQL_MIX_TEMPERATURE = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+m AS (SELECT MIN(n) AS n_min FROM c),
+r AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * 10000)
+              AS INT) AS keep_bp
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {_DUCK_BUCKET.format(key="'temp|' || CAST(doc_id AS VARCHAR)", mod=10000)}
+      < keep_bp
+"""
+
+
+@_register(
+    "mixture_temperature_sample",
+    _SQL_MIX_TEMPERATURE,
+    "α-temperature mixture smoothing (α=0.5, the multilingual-LM n^α "
+    "re-weighting): per-domain keep rate sqrt(n_min/n) — smallest domain "
+    "kept whole, larger ones downsampled so the output mixture is exactly "
+    "∝ sqrt(n); ONE correctly-rounded sqrt per domain and deliberately no "
+    "float-sum normalizer, so driver-side Python and the SQL twin floor "
+    "the identical double to the same basis-point rate; md5-bucket fate, "
+    "corpus streams through one filter shuffle-free (mixture_balance's "
+    "shape with data-derived targets)",
+    retired=True,  # staged round 7: window full; family sibling of the rotated-in token_budget_sample / retired mixture_balance_docs
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.mixture_temperature(docs).select("doc_id", "source")
+
+
 _SPAN_K = 5
 
 _SQL_REPEATED_SPANS = f"""
