@@ -296,6 +296,49 @@ def test_ivfpq_vectors_cross_one_shuffle_and_probe_tables_broadcast(spark, sf_di
     assert "neighbor_id" in vec_exchanges[0]  # it IS the assign shuffle
 
 
+def test_mixture_temperature_is_one_scan_one_broadcast_no_shuffle(spark, sf_dir):
+    """Temperature sampling must keep mixture_balance's shape: ONE pruned
+    corpus scan (doc_id + source only), the basis-point rate list
+    broadcast (never an SMJ — the corpus would re-shuffle to attach a
+    |domains|-row table), zero corpus shuffles."""
+    plan = _plan(
+        QUERIES["mixture_temperature_sample"].fn(spark, sf_dir), "simple"
+    )
+    assert plan.count("FileScan") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_incremental_lsh_flag_reaches_the_banded_join(spark, sf_dir):
+    """The incremental contract's plan half: the increment flag must be a
+    condition OF the banded self-join (base-base pairs never materialize)
+    — not a post-hoc filter over the full pair set. Pinned on the
+    un-checkpointed candidate stage, where the join is still visible."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.operators.dedup import (
+        _candidate_pairs_from_sig,
+        minhash_signatures,
+    )
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    sig = minhash_signatures(docs).join(
+        docs.select(
+            "doc_id", (md5_bucket("doc_id", salt="incr|") >= 80).cast("int").alias("__new")
+        ),
+        "doc_id",
+    )
+    cand = _candidate_pairs_from_sig(sig, "doc_id", 16, 2, None, flag_col="__new")
+    plan = _plan(cand, "simple")
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "band_hash" in l
+    ]
+    assert join_lines and all("__new" in l for l in join_lines), (
+        "flag condition missing from the banded join:\n" + "\n".join(join_lines)
+    )
+
+
 def test_corpus_datasheet_is_one_scan_one_tokenize(spark, sf_dir):
     """The datasheet must be a single corpus pass: one FileScan (the naive
     compose-and-cross-join shape costs 5 full scans at 100 TB) and ONE
