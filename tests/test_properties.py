@@ -455,3 +455,31 @@ def test_bloom_no_false_negatives_any_filter_width(spark, docs, m):
     for i, b in bloom.items():
         assert b.n_shingles == exact[i].n_shingles
         assert b.n_bloom_hits >= exact[i].n_contaminated
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sketch_docs, st.integers(0, 100))
+def test_incremental_lsh_is_exact_restriction_any_corpus(spark, docs, cut):
+    """For ANY corpus and ANY increment fraction (including empty and
+    all-new), the incremental pairs must equal the full lsh_verified run
+    restricted to new-involving pairs — same jaccard values — and no
+    base-base pair may ever appear."""
+    from weather_bigquery_lakehouse_spark.operators import dedup as dd
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pred = md5_bucket("doc_id", salt="prop|") >= cut
+    new_ids = {r.doc_id for r in df.select("doc_id").where(pred).collect()}
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.lsh_verified_pairs(df, threshold=0.3).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.incremental_lsh_pairs(df, pred, threshold=0.3).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want
+    for a, b in inc:
+        assert a in new_ids or b in new_ids
