@@ -167,6 +167,7 @@ EXTENDED = [
     "quality_ccnet_buckets",
     "dedup_incremental_lsh",
     "mixture_temperature_sample",
+    "embedding_covariance",
 ]
 
 

@@ -658,6 +658,39 @@ def test_pq_adc_exact_when_vectors_are_codewords(spark):
         assert [n for _, n in ranked] == [n for _, n in trued]
 
 
+def test_embedding_covariance_matches_numpy_and_whitening_identity(spark):
+    """The covariance operator must agree with numpy's population
+    covariance on the raw vectors (within micro-quantization error), emit
+    exactly dim(dim+1)/2 upper-triangle rows, and the derived whitening
+    transform must map the corpus to ~identity covariance — eigh runs on
+    bounded dim×dim metadata, the rest stays distributed."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators.embeddings import (
+        apply_whitening,
+        embedding_covariance,
+        whitening_transform,
+    )
+
+    dim = 64
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_covariance(emb, dim).collect()
+    assert len(rows) == dim * (dim + 1) // 2
+    got = np.zeros((dim, dim))
+    for r in rows:
+        got[r.i, r.j] = got[r.j, r.i] = r.cov
+    x = np.array([r.embedding for r in emb.select("embedding").collect()])
+    ref = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(got, ref, atol=1e-4)
+
+    w, mu = whitening_transform(emb, dim)
+    white = np.array(
+        [r.embedding for r in apply_whitening(emb, w, mu).collect()]
+    )
+    cw = np.cov(white, rowvar=False, bias=True)
+    assert np.allclose(cw, np.eye(dim), atol=1e-2)
+
+
 def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
     """IVF-PQ's one exactness anchor: probing EVERY cell removes the IVF
     pruning, so the output must equal exhaustive-ADC pq_topk row for row
