@@ -49,6 +49,32 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     assert back.schema == df.schema
 
 
+def test_orc_roundtrip_preserves_schema_and_pushes_filters(spark, tmp_path):
+    """ORC is the second columnar zone format (Spark-native, no extra
+    jar): write_table/read_table must round-trip it losslessly with the
+    schema intact, and predicates must reach the ORC scan as
+    PushedFilters — the same stats-skipping contract the parquet zones
+    rely on."""
+    import contextlib
+    import io as _io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    zone = str(tmp_path / "docs_orc")
+    write_table(docs, zone, fmt="orc")
+    back = read_table(spark, zone, fmt="orc")
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.select("doc_id", "source").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "source").collect()}
+    assert a == b
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.where(F.col("doc_id") < 10).select("doc_id").explain("formatted")
+    plan = buf.getvalue()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2024-01-01"), (2, "2024-01-02")], "id int, _ingestion_date string"
