@@ -64,6 +64,7 @@ FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
     f"against a deterministic {_DECON_EVAL_PCT}% md5-bucket eval holdout; "
     "eval shingle set is benchmark-sized → broadcast, training side streams "
     "through one join",
+    retired=True,  # driver window r8: near-verbatim family trade for decontaminate_span_depth (identical eval construction — md5-bucket slice, shingle definition, broadcast semi-join; only the distinct-shingle fraction stops being value-checked) — adjudicated ACCEPT in VERDICT r7 #1
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1399,7 +1400,8 @@ FROM pre CROSS JOIN cnt
     "the entry reads _quality back while the oracle recomputes every "
     "count from the raw input, so the observe points, the metric "
     "assembly, and the sink all sit under the hash check",
-    retired=True,  # staged round 7: window full; quality accounting was pytest-only (VERDICT r6 #6)
+    # rotated IN round 8 ← cleaning_report_documents (same cleaning accounting
+    # at ZERO extra scans + sink round-trip; adjudicated ACCEPT in VERDICT r7 #1)
 )
 def silver_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1633,6 +1635,7 @@ GROUP BY bg.doc_id
     "vocab-bounded bigram-count table, conditional table shuffle-joined "
     "back onto the stream (a 100 TB bigram vocabulary is not "
     "broadcastable)",
+    retired=True,  # driver window r8: same-code-path subsumption by quality_ccnet_buckets (calls bigram_lm_score verbatim as its first stage; its oracle embeds _SQL_BIGRAM_LM as a CTE — the fact_rerun_idempotent shape) — adjudicated ACCEPT in VERDICT r7 #1
 )
 def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1670,7 +1673,9 @@ FROM j JOIN bp USING (source)
     "single global threshold from starving clean domains; scores and "
     "breakpoints are 6dp doubles from exact-integer numerators, so "
     "buckets are engine-portable",
-    retired=True,  # staged round 7: window full; composes two driver-checked parents (quality_bigram_lm + the quantiles_by_event_type core)
+    # rotated IN round 8 ← quality_bigram_lm (same-code-path: calls
+    # bigram_lm_score verbatim as its first stage and its oracle embeds
+    # _SQL_BIGRAM_LM as a CTE; adjudicated ACCEPT in VERDICT r7 #1)
 )
 def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]
@@ -1824,7 +1829,10 @@ FROM per LEFT JOIN mx USING (doc_id)
     "of m consecutive k-gram starts is a verbatim m+k-1-token shared "
     "substring; same broadcast eval-set semi-join as the overlap-fraction "
     "op, island window bounded by each doc's own hits",
-    retired=True,  # staged round 6: window full; rotation argued in docs/REGISTRY.md
+    # rotated IN round 8 ← decontaminate_ngram_overlap (near-verbatim family:
+    # identical eval construction — same md5-bucket slice, shingle definition,
+    # broadcast semi-join — plus island accounting; adjudicated ACCEPT in
+    # VERDICT r7 #1)
 )
 def decontaminate_span_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _views(spark, sf_dir, ["documents"])["documents"]

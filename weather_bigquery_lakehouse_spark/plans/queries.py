@@ -401,6 +401,7 @@ _SQL_CLEANING_REPORT = (
     "rows-removed accounting: every count the reference's eager cleaning "
     "loops report (nulls per column, untrimmed strings, duplicate rows — "
     "data_cleaning.py:8-53) in ONE aggregate job",
+    retired=True,  # driver window r8: family trade for silver_quality_documents (same cleaning accounting — per-column nulls/trims, duplicate rows — measured via CollectMetrics at ZERO extra scans, and the observe variant additionally round-trips the sink) — adjudicated ACCEPT in VERDICT r7 #1
 )
 def cleaning_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cleaning import removal_accounting
