@@ -879,3 +879,39 @@ def test_versioned_swap_stale_current_marker_never_collides(spark, tmp_path):
     assert len(archived) == len(set(archived)) == 2 and v not in archived
     fresh = max(a for a in archived if a != 1)
     assert {r.x for r in read_snapshot(spark, zone, fresh).collect()} == {2}
+
+
+def test_read_snapshot_prefers_archive_over_stale_current_marker(spark, tmp_path):
+    """IN the torn-commit window itself (archive rename done, promote +
+    marker lost, recover_swap promoted .next) the CURRENT marker still
+    names the ARCHIVED version — read_snapshot must serve that version
+    from the archive, not hand back the newly promoted snapshot at path
+    (the 'version N is the state after commit N' invariant holds even
+    before the next commit rewrites the marker)."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import (
+        _versions_dir,
+        commit_versioned_swap,
+        current_version,
+        read_snapshot,
+        recover_swap,
+    )
+
+    zone = str(tmp_path / "gold")
+
+    def write_next(vals):
+        spark.createDataFrame([(v,) for v in vals], "x long").coalesce(1).write.parquet(
+            zone + ".next"
+        )
+
+    write_next([1])
+    assert commit_versioned_swap(zone) == 1
+    write_next([2])
+    os.rename(zone, os.path.join(_versions_dir(zone), "v000001"))
+    assert recover_swap(zone) == "promoted_next"
+    assert current_version(zone) == 1  # stale marker
+    # the invariant under test: v1 is the commit-1 state, NOT the {2}
+    # snapshot the stale marker would route to
+    assert {r.x for r in read_snapshot(spark, zone, 1).collect()} == {1}
+    assert {r.x for r in read_snapshot(spark, zone).collect()} == {2}

@@ -690,6 +690,15 @@ def test_embedding_covariance_matches_numpy_and_whitening_identity(spark):
     cw = np.cov(white, rowvar=False, bias=True)
     assert np.allclose(cw, np.eye(dim), atol=1e-2)
 
+    # the id column's type is the caller's, not hardcoded long: a string
+    # id corpus must project through unchanged
+    sm = emb.limit(3).withColumn("vec_id", F.concat(F.lit("v"), "vec_id"))
+    out = apply_whitening(sm, w, mu)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert {r.vec_id for r in out.collect()} == {
+        r.vec_id for r in sm.select("vec_id").collect()
+    }
+
 
 def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
     """IVF-PQ's one exactness anchor: probing EVERY cell removes the IVF
@@ -934,3 +943,76 @@ def test_skew_key_report_math_and_takeordered_plan(spark):
     # rank comes from the triangular broadcast self-join, NOT an
     # unpartitioned window — zero WindowExec (and zero warnings) in the plan
     assert "Window" not in buf.getvalue()
+
+
+def test_incremental_lsh_precomputed_signatures_equal_recompute(spark, tmp_path):
+    """The persisted-signature substitution the incremental docstring
+    promises: landing minhash_signatures(base) via write_table at base
+    ingest and feeding the round-tripped frame back through
+    base_signatures= yields EXACTLY the pairs of the recompute run —
+    same jaccard, same link types (both paths share
+    _signatures_from_shingles, so the recipe cannot diverge)."""
+    from weather_bigquery_lakehouse_spark.io.writers import write_table
+    from weather_bigquery_lakehouse_spark.operators import dedup as dd
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = md5_bucket("doc_id", salt="incr|") >= 50
+    sig_path = str(tmp_path / "base_signatures")
+    write_table(dd.minhash_signatures(docs.where(~pred)), sig_path)
+    base_sig = spark.read.parquet(sig_path)
+
+    recompute = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.link_type)
+        for r in dd.incremental_lsh_pairs(docs, pred, threshold=0.5).collect()
+    }
+    persisted = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.link_type)
+        for r in dd.incremental_lsh_pairs(
+            docs, pred, threshold=0.5, base_signatures=base_sig
+        ).collect()
+    }
+    assert persisted == recompute and len(recompute) > 0
+
+
+def test_incremental_lsh_base_is_never_reshingled(spark):
+    """Behavioral pin that base SIGNATURES come from the persisted frame,
+    not from base text: after persisting signatures, mutate an unrelated
+    base doc's text into a verbatim copy of a new doc. A run that
+    re-shingled the base would band-collide the mutated doc and emit the
+    pair; the persisted-signature run must not (its index still holds the
+    original, unrelated signature). The genuine new/base duplicate pair
+    must still come through — the verify stage DOES read base text, but
+    only for candidate-involved docs."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.operators import dedup as dd
+
+    rows = [
+        ("b1", "the quick brown fox jumps over the lazy dog today", 0),
+        ("b2", "columnar parquet tables compress better with sorted row groups", 0),
+        ("n1", "columnar parquet tables compress better with sorted row groups", 1),
+        ("n2", "streaming watermark bounds the state store partition growth", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, is_new int")
+    base_sig = dd.minhash_signatures(
+        docs.where("is_new = 0")
+    ).localCheckpoint(eager=True)  # freeze pre-mutation signatures
+    mutated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == "b1",
+            F.lit("streaming watermark bounds the state store partition growth"),
+        ).otherwise(F.col("text")),
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.link_type
+        for r in dd.incremental_lsh_pairs(
+            mutated,
+            F.col("is_new") == 1,
+            threshold=0.5,
+            base_signatures=base_sig,
+        ).collect()
+    }
+    assert ("b2", "n1") in pairs and pairs[("b2", "n1")] == "new_base"
+    assert ("b1", "n2") not in pairs  # re-shingling base would emit this

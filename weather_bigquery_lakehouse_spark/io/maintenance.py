@@ -196,19 +196,25 @@ def expire_snapshots(path: str, keep: int) -> list[int]:
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
-    """Read the state AFTER commit ``version`` (None → current). The
-    current version reads ``path`` itself; earlier versions read the
-    archive. Raises if the requested version was expired or never
-    existed."""
-    if version is None or version == current_version(path):
-        return spark.read.parquet(path.rstrip("/"))
-    vpath = os.path.join(_versions_dir(path), f"v{version:06d}")
-    if not os.path.isdir(vpath):
-        raise ValueError(
-            f"snapshot v{version} of {path!r} is not retained "
-            f"(have: {list_snapshots(path)}, current: {current_version(path)})"
-        )
-    return spark.read.parquet(vpath)
+    """Read the state AFTER commit ``version`` (None → current). An
+    ARCHIVED version always wins over the ``CURRENT`` marker: in the
+    torn-commit state (archive rename done, promote/marker lost,
+    :func:`recover_swap` promoted ``.next``) the stale marker still
+    names the archived version, so trusting it would hand back the NEW
+    snapshot at ``path`` for a version that lives in the archive.
+    Reading ``path`` is therefore the fallback, used only when no
+    archive dir exists for the requested number AND the marker agrees.
+    Raises if the requested version was expired or never existed."""
+    if version is not None:
+        vpath = os.path.join(_versions_dir(path), f"v{version:06d}")
+        if os.path.isdir(vpath):
+            return spark.read.parquet(vpath)
+        if version != current_version(path):
+            raise ValueError(
+                f"snapshot v{version} of {path!r} is not retained "
+                f"(have: {list_snapshots(path)}, current: {current_version(path)})"
+            )
+    return spark.read.parquet(path.rstrip("/"))
 
 
 def _list_files(path: str, suffix: str = ".parquet") -> list[str]:

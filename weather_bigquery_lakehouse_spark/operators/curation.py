@@ -1362,6 +1362,11 @@ def decontaminate_bloom(
     eval_shingles, train = _eval_train_shingles(docs, eval_pct, k, id_col, text_col)
     pos = [sketch_hash(F.col("shingle"), f"bloom{i}|", m) for i in range(j)]
     bloom = eval_shingles.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    # materialize the <= m-row filter ONCE so the saturation guard's count
+    # and the downstream broadcast anti-join share a single build of the
+    # explode+distinct aggregate (counting an unmaterialized frame would
+    # run it twice — the "paid once" claim above)
+    bloom = bloom.localCheckpoint(eager=True)
     n_set = bloom.count()
     fill = n_set / m
     if fill > max_fill:

@@ -103,6 +103,25 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     )
 
 
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash signature aggregation from (id, shingle) rows — THE single
+    definition of the signature recipe (md5-derived shingle int, hash
+    family, modulus, h{i} column names). ``minhash_signatures``,
+    ``lsh_verified_pairs``, and ``incremental_lsh_pairs`` all call it, so
+    a persisted base signature table can never silently diverge from
+    signatures computed fresh for an increment."""
+    exploded = sh.select(
+        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_HASHES
 ) -> DataFrame:
@@ -112,15 +131,12 @@ def minhash_signatures(
 
     Shape: per-row shingle explode → ONE groupBy(doc) computing all n mins
     (map-side partial aggregation makes the shuffle carry just n longs per
-    doc, not the shingles)."""
-    exploded = _doc_shingles(df, text_col, id_col).select(
-        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
+    doc, not the shingles). This is the frame to PERSIST at base ingest —
+    ``incremental_lsh_pairs(base_signatures=…)`` accepts it back so daily
+    increments never re-shingle the base corpus."""
+    return _signatures_from_shingles(
+        _doc_shingles(df, text_col, id_col), id_col, n_hashes
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -291,14 +307,7 @@ def lsh_verified_pairs(
     identical to the composition by construction (both stages derive from
     the same shingle rows)."""
     sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
-    exploded = sh.select(
-        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    sig = _signatures_from_shingles(sh, id_col, n_hashes)
     candidates = _candidate_pairs_from_sig(
         sig, id_col, n_hashes, band_rows, max_bucket_size
     )
@@ -315,6 +324,7 @@ def incremental_lsh_pairs(
     band_rows: int = BAND_ROWS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     k: int = 3,
+    base_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: verified pairs the NEW increment
     introduces against an already-deduped base — the daily-crawl shape.
@@ -336,23 +346,38 @@ def incremental_lsh_pairs(
     pattern); per-bucket pair expansion n_new·n_total instead of
     n_total²/2; the exact-Jaccard stage shingle-joins ONLY documents that
     appear in a candidate pair (two left-semi prunes), so verify work is
-    increment-proportional. At warehouse scale the base side's signatures
-    come from the persisted signature table (``minhash_signatures`` at
-    base ingest) instead of being recomputed — the banding, cap, and
-    verify stages are unchanged by that substitution.
+    increment-proportional.
+
+    ``base_signatures`` is the warehouse-scale substitution: pass the
+    signature table persisted at base ingest (a ``minhash_signatures``
+    frame — same h{i} recipe by construction, both call
+    ``_signatures_from_shingles``) and the BASE corpus is never
+    re-shingled: only increment rows are tokenized for signatures, and
+    base text is shingled solely for the candidate-involved doc set in
+    the verify stage (increment-proportional by the bucket cap).
+    Contract: ``base_signatures`` holds one row per base doc of ``df``
+    (ids disjoint from increment rows); ``new_pred`` still marks the
+    increment rows inside ``df``, whose text the verify stage reads.
     """
     flags = df.select(
         F.col(id_col), new_pred.cast("int").alias("__new")
     )
-    sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
-    exploded = sh.select(
-        F.col(id_col), shingle_int_expr(F.col("shingle")).alias("h")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs).join(flags, id_col)
+    if base_signatures is None:
+        sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
+        sig = _signatures_from_shingles(sh, id_col, n_hashes).join(flags, id_col)
+    else:
+        sig_cols = [id_col] + [f"h{i}" for i in range(n_hashes)]
+        sh_new = _doc_shingles(
+            df.where(new_pred), text_col, id_col, k
+        ).localCheckpoint(eager=True)
+        sig = (
+            _signatures_from_shingles(sh_new, id_col, n_hashes)
+            .select(*sig_cols)
+            .withColumn("__new", F.lit(1))
+            .unionByName(
+                base_signatures.select(*sig_cols).withColumn("__new", F.lit(0))
+            )
+        )
     cand = _candidate_pairs_from_sig(
         sig, id_col, n_hashes, band_rows, max_bucket_size, flag_col="__new"
     ).localCheckpoint(eager=True)
@@ -361,9 +386,15 @@ def incremental_lsh_pairs(
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    verified = _jaccard_from_shingles(
-        sh.join(cand_docs, id_col, "left_semi"), id_col, threshold, cand
-    )
+    if base_signatures is None:
+        sh_verify = sh.join(cand_docs, id_col, "left_semi")
+    else:
+        # base text is shingled here and ONLY here — for the
+        # candidate-involved docs, never corpus-wide
+        sh_verify = _doc_shingles(
+            df.join(cand_docs, id_col, "left_semi"), text_col, id_col, k
+        )
+    verified = _jaccard_from_shingles(sh_verify, id_col, threshold, cand)
     link = F.when(
         (F.col("__na") + F.col("__nb")) == 2, F.lit("new_new")
     ).otherwise(F.lit("new_base"))

@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def embedding_covariance(
@@ -63,6 +64,11 @@ def embedding_covariance(
         import numpy as np
         import pandas as pd
 
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
         acc = np.zeros((dim, dim), dtype=np.int64)
         seen = False
         for b in batches:
@@ -174,6 +180,11 @@ def apply_whitening(
         import numpy as np
         import pandas as pd
 
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
         wm = np.asarray(w, dtype=np.float64)
         mv = np.asarray(mu, dtype=np.float64)
         for b in batches:
@@ -185,6 +196,10 @@ def apply_whitening(
                 {id_col: b[id_col], vec_col: [r.tolist() for r in out]}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        project, schema=f"{id_col} long, {vec_col} array<double>"
+    # carry the caller's id type through (string/int vec ids are legal —
+    # hardcoding long would fail any non-bigint corpus at runtime)
+    id_type = T.StructField(id_col, embeddings.schema[id_col].dataType)
+    out_schema = T.StructType(
+        [id_type, T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
     )
+    return embeddings.select(id_col, vec_col).mapInPandas(project, schema=out_schema)

@@ -101,6 +101,11 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     with_checksum = df.withColumn("checksum", F.sha2(F.col("payload"), 256))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
         for pdf in batches:
             dims = [
                 None if p is None else decode_image_stub(bytes(p), fake=fake)
@@ -138,6 +143,11 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):

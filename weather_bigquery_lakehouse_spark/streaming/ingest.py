@@ -491,6 +491,11 @@ def run_session_stream(
         return out
 
     def fn(key, pdfs, state: GroupState):
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
         (user_id,) = key
         if bounded and state.hasTimedOut:
             # watermark passed session end + gap: nothing in-watermark can
