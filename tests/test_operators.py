@@ -910,13 +910,57 @@ def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
             n_probe_cells=_N_IVF_PROBE_CELLS, **pq_kw
         ).collect()
     }
+    # trained-quantizer rows (round 8): same configurations, k-means
+    # codebook/centroids from operators/kmeans.py
+    from weather_bigquery_lakehouse_spark.operators import kmeans as km
+    from weather_bigquery_lakehouse_spark.plans.extensions import _KM_ITER
+
+    cb_t = km.kmeans_pq_codebook(
+        emb, dim=_PQ_DIM, m=_PQ_M, n_codes=_PQ_CODES, n_iter=_KM_ITER
+    )
+    cent_t = km.kmeans_centroids(emb, n_cells=_N_CELLS, n_iter=_KM_ITER)
+    ivf_t = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(
+            emb, probes, n_cells=_N_CELLS, k=_TOP_K,
+            n_probe_cells=_N_IVF_PROBE_CELLS, centroids=cent_t,
+        ).collect()
+    }
+    pq_t = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(emb, probes, codebook=cb_t, **pq_kw).collect()
+    }
+    ivfpq_t = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivfpq_topk(
+            emb, probes, n_cells=_N_CELLS,
+            n_probe_cells=_N_IVF_PROBE_CELLS, codebook=cb_t, **pq_kw
+        ).collect()
+    }
     denom = _TOP_K * _N_PROBES
-    assert len(report) == 4
+    assert len(report) == 7
     assert report["lsh_multiprobe"].recall_at_k == round(len(lsh & exact) / denom, 6)
     assert report["ivf_multiprobe"].recall_at_k == round(len(ivf & exact) / denom, 6)
     assert report["pq_adc"].recall_at_k == round(len(pq & exact_l2) / denom, 6)
     assert report["ivfpq"].recall_at_k == round(len(ivfpq & exact_l2) / denom, 6)
+    assert report["ivf_trained"].recall_at_k == round(len(ivf_t & exact) / denom, 6)
+    assert report["pq_adc_trained"].recall_at_k == round(
+        len(pq_t & exact_l2) / denom, 6
+    )
+    assert report["ivfpq_trained_cb"].recall_at_k == round(
+        len(ivfpq_t & exact_l2) / denom, 6
+    )
     assert all(0.0 < r.recall_at_k <= 1.0 for r in report.values())
+    # distortion column: populated for the ADC family only, equal within
+    # a codebook, and strictly better for the trained codebook
+    assert report["lsh_multiprobe"].mean_distortion_micro is None
+    assert report["ivf_multiprobe"].mean_distortion_micro is None
+    assert report["ivf_trained"].mean_distortion_micro is None
+    d_s = report["pq_adc"].mean_distortion_micro
+    d_t = report["pq_adc_trained"].mean_distortion_micro
+    assert d_s == report["ivfpq"].mean_distortion_micro
+    assert d_t == report["ivfpq_trained_cb"].mean_distortion_micro
+    assert 0 < d_t < d_s
 
 
 def test_skew_key_report_math_and_takeordered_plan(spark):

@@ -208,6 +208,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_cells: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus and probes are coarse-quantized to
     ``n_cells`` centroid cells; each probe scores only its own cell's
@@ -221,13 +222,17 @@ def ivf_topk(
     (its assignment stays the map-side-combined argmax — a window runs
     only over the tiny probes×centroids frame).
 
-    Centroids here are the first ``n_cells`` corpus vectors — a
+    Default centroids are the first ``n_cells`` corpus vectors — a
     deterministic, oracle-checkable stand-in for an offline k-means
-    training step (at production scale: train centroids on a sample,
-    broadcast them; everything downstream is unchanged)."""
-    centroids = embeddings.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
-    )
+    training step. Pass ``centroids`` (a ``(cell_id, centroid)`` frame,
+    e.g. :func:`..kmeans.kmeans_centroids`'s trained output) to index
+    with real cluster centers; everything downstream is unchanged."""
+    if centroids is None:
+        centroids = embeddings.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    else:
+        centroids = centroids.select("cell_id", "centroid")
     c = (
         assign_cells(
             embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -473,6 +478,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k with asymmetric distance computation
     (ADC) — the MEMORY-bound scale path past IVF: the corpus's 4·dim-byte
@@ -483,10 +489,12 @@ def pq_topk(
     executor memory and one that doesn't: after encoding, scoring never
     touches a vector again — only the m-byte code array moves.
 
-    Codebooks are deterministic (the subvectors of the first ``n_codes``
-    corpus vectors — the same oracle-checkable stand-in for offline
-    k-means as ``ivf_topk``'s centroids; production trains on a sample
-    and broadcasts, everything downstream unchanged).
+    The default codebook is deterministic (the subvectors of the first
+    ``n_codes`` corpus vectors — the same oracle-checkable stand-in for
+    offline k-means as ``ivf_topk``'s centroids); pass ``codebook`` (a
+    ``(sub_id, code_id, __cv)`` frame, e.g.
+    :func:`..kmeans.kmeans_pq_codebook`'s trained output) to encode
+    against real cluster centers — everything downstream is unchanged.
 
     Engine-parity design: per-subspace distances are quantized to integer
     MICRO-units (``round(l2² · 1e6)`` as BIGINT) BEFORE any aggregation,
@@ -503,7 +511,11 @@ def pq_topk(
     per (probe, vector). No vector ever crosses a shuffle after encode.
     """
     sub = _pq_sub(dim, m)
-    cb = _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
+    cb = (
+        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        if codebook is not None
+        else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
+    )
     dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
     corpus_codes = (
         _subspaces(embeddings, "neighbor_id", m, sub, id_col, vec_col)
@@ -535,6 +547,53 @@ def pq_topk(
             "neighbor_id",
             F.round(F.col("__sd").cast("double") / 1e6, 6).alias("approx_l2sq"),
             "rank",
+        )
+    )
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Mean ADC quantization distortion of a PQ codebook over the corpus —
+    the codebook-quality metric training actually optimizes, and the one
+    that converges where recall@k over a small probe sample is sampling
+    noise (k-means provably descends this; whether that shows up in
+    recall@5 over 10 probes is corpus luck). One row:
+    ``(n_vectors BIGINT, mean_distortion_micro BIGINT)`` — per-vector sum
+    over subspaces of the min integer-micro l2² to any codeword, floor-
+    divided by the corpus count, so both engines produce the identical
+    integer. One broadcast codebook join reduced by map-side-combinable
+    min/sum aggregates — never more than one pass over the corpus."""
+    sub = _pq_sub(dim, m)
+    cb = (
+        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        if codebook is not None
+        else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
+    )
+    dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
+    per_sub = (
+        _subspaces(embeddings, "__did", m, sub, id_col, vec_col)
+        .join(cb, "sub_id")
+        .groupBy("__did", "sub_id")
+        .agg(F.min(dmicro).alias("__d"))
+    )
+    return (
+        per_sub.groupBy()
+        .agg(
+            F.countDistinct("__did").cast("bigint").alias("n_vectors"),
+            F.sum("__d").alias("__tot"),
+        )
+        .select(
+            "n_vectors",
+            F.expr("CAST(__tot DIV n_vectors AS BIGINT)").alias(
+                "mean_distortion_micro"
+            ),
         )
     )
 
@@ -589,6 +648,8 @@ def ivfpq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the composed index a 100 TB deployment actually
     runs: IVF coarse cells bound the COMPUTE (each probe ADC-scores only
@@ -618,10 +679,17 @@ def ivfpq_topk(
     boundary neighbors, finer codebooks tighten the distance estimate.
     """
     sub = _pq_sub(dim, m)
-    cb = _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
-    centroids = embeddings.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    cb = (
+        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        if codebook is not None
+        else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
+    if centroids is None:
+        centroids = embeddings.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    else:
+        centroids = centroids.select("cell_id", "centroid")
     # corpus: one pass — coarse-assign, then encode with the cell id
     # riding along (no post-encode join to re-attach it)
     corpus_cells = assign_cells(

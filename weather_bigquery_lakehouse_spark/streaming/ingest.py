@@ -14,6 +14,7 @@ Window choice: tumbling 1h processing windows aligned to the epoch
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -74,6 +75,37 @@ def _as_stream_dir(path: str) -> str:
     return path
 
 
+STREAM_SHUFFLE_ENV = "WBL_STREAM_SHUFFLE_PARTITIONS"
+
+
+@contextlib.contextmanager
+def _stream_shuffle_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` around a STATEFUL stream's
+    start: a streaming query pins its state-store partition count from
+    this conf at its first run (checkpoint-locked thereafter), and at toy
+    SF the fixed per-partition store init/commit constant — 32 stores ×
+    each stateful stage on local[32] — dominates wall-clock and amplifies
+    box noise (the round-7 official record's `streaming_interval_join`
+    reps spread 38/23/18 s loaded vs 5.7 s quiet on identical plans).
+    ``WBL_STREAM_SHUFFLE_PARTITIONS`` lets the bench declare a smaller
+    count for these short AvailableNow runs; unset (the default —
+    production, correctness gates, tests) this is a no-op. Production
+    sizes the conf to the cluster BEFORE the first stateful run instead
+    (docs/SCALE.md "Knobs"); a checkpoint created under one value must
+    keep it."""
+    n = os.environ.get(STREAM_SHUFFLE_ENV)
+    if not n:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_hourly_rollup_stream(
     spark: SparkSession,
     events_path: str,
@@ -99,15 +131,16 @@ def run_hourly_rollup_stream(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value_dec"),
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle_scope(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.sql(
         f"""
         SELECT w.start AS hour_start,
@@ -145,15 +178,16 @@ def run_dedup_stream(
         .select(F.sha2(F.trim(F.col("text")), 256).alias("text_sha"))
         .dropDuplicates(["text_sha"])
     )
-    query = (
-        stream.writeStream.format("parquet")
-        .option("path", output)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _stream_shuffle_scope(spark):
+        query = (
+            stream.writeStream.format("parquet")
+            .option("path", output)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.read.schema("text_sha string").parquet(output)
 
 
@@ -220,15 +254,16 @@ def run_bounded_dedup_stream(
             "value",
         )
     )
-    (
-        stream.writeStream.format("parquet")
-        .option("path", output)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_shuffle_scope(spark):
+        (
+            stream.writeStream.format("parquet")
+            .option("path", output)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.schema(
         "event_id bigint, user_id bigint, ts timestamp_ntz, "
         "event_type string, value double"
@@ -273,15 +308,16 @@ def run_watermarked_rollup_stream(
             F.col("total_value_dec").cast("double").alias("total_value"),
         )
     )
-    (
-        stream.writeStream.format("parquet")
-        .option("path", output)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_shuffle_scope(spark):
+        (
+            stream.writeStream.format("parquet")
+            .option("path", output)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.schema(
         "hour_start timestamp, n_events bigint, total_value double"
     ).parquet(output)
@@ -410,15 +446,16 @@ def run_interval_join_stream(
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
-    (
-        joined.writeStream.format("parquet")
-        .option("path", output)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_shuffle_scope(spark):
+        (
+            joined.writeStream.format("parquet")
+            .option("path", output)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.schema(
         "event_id bigint, user_id bigint, ts timestamp_ntz, click_ts timestamp_ntz"
     ).parquet(output)
@@ -552,15 +589,16 @@ def run_session_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
-    (
-        sessions.writeStream.format("parquet")
-        .option("path", output)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_shuffle_scope(spark):
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", output)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.schema(SESSION_OUT_SCHEMA).parquet(output)
 
 
