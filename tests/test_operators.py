@@ -913,12 +913,16 @@ def test_ann_recall_report_matches_python_set_math(spark, sf_dir):
     # trained-quantizer rows (round 8): same configurations, k-means
     # codebook/centroids from operators/kmeans.py
     from weather_bigquery_lakehouse_spark.operators import kmeans as km
-    from weather_bigquery_lakehouse_spark.plans.extensions import _KM_ITER
+    from weather_bigquery_lakehouse_spark.plans.extensions import (
+        _KM_ITER, _KM_SAMPLE_N,
+    )
 
     cb_t = km.kmeans_pq_codebook(
         emb, dim=_PQ_DIM, m=_PQ_M, n_codes=_PQ_CODES, n_iter=_KM_ITER
     )
-    cent_t = km.kmeans_centroids(emb, n_cells=_N_CELLS, n_iter=_KM_ITER)
+    cent_t = km.kmeans_centroids(
+        emb, n_cells=_N_CELLS, n_iter=_KM_ITER, sample_n=_KM_SAMPLE_N
+    )
     ivf_t = {
         (r.query_id, r.neighbor_id)
         for r in sim.ivf_topk(

@@ -271,6 +271,17 @@ def train_grouped_codebook(
     )
 
 
+#: One-slot memos for the trained quantizer frames — the
+#: ``similarity._PAIR_CLUSTER_CACHE`` contract: the trained frames sit on
+#: localCheckpointed blocks valid only within the session that built them
+#: (applicationId in the key), so a registry sweep that greets the same
+#: corpus from several entries (the staged codebook/centroid gates and
+#: the recall report) trains ONCE and shares the WORK — results are
+#: deterministic either way, only wall-clock changes.
+_PQ_CB_CACHE: dict[tuple, DataFrame] = {}
+_CENTROID_CACHE: dict[tuple, DataFrame] = {}
+
+
 def kmeans_pq_codebook(
     embeddings: DataFrame,
     dim: int,
@@ -280,17 +291,29 @@ def kmeans_pq_codebook(
     sample_n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: object = None,
 ) -> DataFrame:
     """Trained PQ codebook ``(sub_id, code_id, __cv)`` — drop-in for the
     first-n stand-in via ``pq_topk(..., codebook=)`` / ``ivfpq_topk``.
     All ``m`` subspace codebooks train in the same jobs (grouped k-means
     on the posexploded subvectors — Jégou et al. 2011 trains subspaces
-    independently, which grouping by ``sub_id`` expresses exactly)."""
+    independently, which grouping by ``sub_id`` expresses exactly).
+    Pass ``cache_key`` (the caller-owned input identity, e.g. the dataset
+    path) to memoize the trained frame for sibling queries."""
     from .similarity import _pq_sub, _subspaces
 
+    key = None
+    if cache_key is not None:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            cache_key, dim, m, n_codes, n_iter, sample_n, id_col, vec_col,
+        )
+        hit = _PQ_CB_CACHE.get(key)
+        if hit is not None:
+            return hit
     sub = _pq_sub(dim, m)
     subs = _subspaces(embeddings, "__kid", m, sub, id_col, vec_col)
-    return train_grouped_codebook(
+    out = train_grouped_codebook(
         subs,
         n_codes=n_codes,
         n_iter=n_iter,
@@ -299,6 +322,10 @@ def kmeans_pq_codebook(
         vec_col="__sv",
         sample_n=sample_n,
     )
+    if key is not None:
+        _PQ_CB_CACHE.clear()
+        _PQ_CB_CACHE[key] = out
+    return out
 
 
 def kmeans_centroids(
@@ -308,12 +335,23 @@ def kmeans_centroids(
     sample_n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: object = None,
 ) -> DataFrame:
     """Trained IVF centroids ``(cell_id, centroid)`` — the single-group
     k-means (L2 objective; ``assign_cells`` still routes by cosine at
     query time, the usual pairing for roughly-normalized embeddings).
     Drop-in for the first-``n_cells`` stand-in via
-    ``ivf_topk(..., centroids=)`` / ``ivfpq_topk(..., centroids=)``."""
+    ``ivf_topk(..., centroids=)`` / ``ivfpq_topk(..., centroids=)``.
+    ``cache_key`` memoizes like :func:`kmeans_pq_codebook`."""
+    key = None
+    if cache_key is not None:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            cache_key, n_cells, n_iter, sample_n, id_col, vec_col,
+        )
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
     single = embeddings.select(
         F.lit(0).alias("__grp"), F.col(id_col), F.col(vec_col)
     )
@@ -329,4 +367,8 @@ def kmeans_centroids(
         out_vec_col="centroid",
         single_group=True,
     )
-    return cb.select("cell_id", "centroid")
+    out = cb.select("cell_id", "centroid")
+    if key is not None:
+        _CENTROID_CACHE.clear()
+        _CENTROID_CACHE[key] = out
+    return out
