@@ -185,6 +185,7 @@ EXTENDED = [
     "ann_kmeans_codebook",
     "ann_kmeans_centroids",
     "ann_recall_report",
+    "ivf_cell_occupancy",
 ]
 
 

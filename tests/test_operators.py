@@ -1064,3 +1064,23 @@ def test_incremental_lsh_base_is_never_reshingled(spark):
     }
     assert ("b2", "n1") in pairs and pairs[("b2", "n1")] == "new_base"
     assert ("b1", "n2") not in pairs  # re-shingling base would emit this
+
+
+def test_ivf_cell_occupancy_partitions_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell under each quantizer, so the
+    per-quantizer occupancy counts must sum to the corpus size and the
+    ppm shares to ~1e6 (floor-division remainder < n_cells)."""
+    from weather_bigquery_lakehouse_spark.plans import RETIRED
+
+    rows = RETIRED["ivf_cell_occupancy"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    counts: dict[str, int] = {}
+    shares: dict[str, int] = {}
+    for r in rows:
+        counts[r.quantizer] = counts.get(r.quantizer, 0) + r.n_vectors
+        shares[r.quantizer] = shares.get(r.quantizer, 0) + r.share_ppm
+    assert set(counts) == {"first_n", "kmeans_sampled"}
+    assert all(v == n for v in counts.values())
+    from weather_bigquery_lakehouse_spark.plans.extensions import _N_CELLS
+
+    assert all(1_000_000 - _N_CELLS < s <= 1_000_000 for s in shares.values())
