@@ -483,3 +483,42 @@ def test_incremental_lsh_is_exact_restriction_any_corpus(spark, docs, cut):
     assert inc == want
     for a, b in inc:
         assert a in new_ids or b in new_ids
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means: the Spark trainer must agree with the pure-python
+# exact-integer Lloyd reference on arbitrary corpora — duplicate vectors,
+# negative components, ties, empty clusters, sampled and full training.
+# ---------------------------------------------------------------------------
+
+_vectors = st.lists(
+    st.lists(
+        st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_vectors, st.integers(0, 3), st.booleans())
+def test_kmeans_matches_exact_reference_on_arbitrary_corpora(
+    spark, vecs, n_iter, sampled
+):
+    from tests.test_kmeans import _frame, _numpy_free_reference
+    from weather_bigquery_lakehouse_spark.operators import kmeans as km
+
+    n_codes = min(3, len(vecs))
+    sample_n = max(n_codes, len(vecs) - 1) if sampled else None
+    got = {
+        r["cell_id"]: r["centroid"]
+        for r in km.kmeans_centroids(
+            _frame(spark, vecs), n_cells=n_codes, n_iter=n_iter,
+            sample_n=sample_n,
+        ).collect()
+    }
+    assert got == _numpy_free_reference(
+        vecs, n_codes=n_codes, n_iter=n_iter, sample_n=sample_n
+    )
