@@ -186,6 +186,7 @@ EXTENDED = [
     "ann_kmeans_centroids",
     "ann_recall_report",
     "ivf_cell_occupancy",
+    "cardinality_hll_documents",
 ]
 
 

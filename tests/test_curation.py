@@ -923,3 +923,33 @@ def test_mixture_drift_shares_and_delta_exact(spark):
         assert r.delta_ppm == abs(r.share_a_ppm - r.share_b_ppm)
     # TVD over ppm shares is bounded by the scale
     assert sum(r.delta_ppm for r in out.values()) / 2 <= 1_000_000
+
+
+def test_hll_cardinality_estimate_and_edges(spark):
+    """The raw-HLL contract at the sized register count: estimate within
+    the ~1.04/sqrt(m) band of the exact count on the gate corpus; the
+    register sum is the exact dyadic bigint the estimate divides; an
+    empty corpus yields all-zero registers and a NULL err_ppm (raw HLL's
+    no-data estimate is alpha*m, a documented non-zero — the linear-
+    counting correction is deliberately out of scope, needing ln)."""
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = cu.hll_cardinality(docs, F.trim(F.col("text"))).collect()[0]
+    assert row.m == cu.HLL_M
+    assert 0 <= row.v_zero <= cu.HLL_M
+    # three-sigma of the 1.04/sqrt(128) standard error ~ 27.6%
+    assert row.err_ppm is not None and row.err_ppm < 276_000
+    assert row.exact_n == docs.where(F.col("text").isNotNull()).select(
+        F.trim("text")
+    ).distinct().count()
+    # determinism across partition layouts (content-addressed registers)
+    row2 = cu.hll_cardinality(
+        docs.repartition(13), F.trim(F.col("text"))
+    ).collect()[0]
+    assert row2 == row
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    erow = cu.hll_cardinality(empty, F.trim(F.col("text"))).collect()[0]
+    assert erow.v_zero == cu.HLL_M and erow.exact_n == 0
+    assert erow.err_ppm is None

@@ -1493,6 +1493,103 @@ def cms_heavy_hitters(
     )
 
 
+HLL_B = 7  # register-index bits → m = 128 registers (sized for the gate
+#          corpus: the raw HLL estimator is valid for n > 2.5·m, which
+#          holds at every sf dir; a 100 TB deployment uses b = 14-16)
+HLL_M = 1 << HLL_B
+HLL_W = 60 - HLL_B  # remainder bits scanned for the leading 1
+#: α_m · m² · 2^(W+1) — the estimate's entire numerator folded into ONE
+#: double literal, so the only floating-point operations either engine
+#: performs are a single division by the exact integer register sum and
+#: one ROUND: no sum-order drift, no libm (ln) dependence. α_m is the
+#: standard HyperLogLog bias constant 0.7213/(1 + 1.079/m).
+HLL_EST_NUMERATOR = (
+    (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+)
+
+
+def hll_cardinality(df: DataFrame, value: Column) -> DataFrame:
+    """Content-addressed HyperLogLog cardinality estimate of ``value`` —
+    the third bounded-memory sketch beside Bloom (membership) and
+    count-min (frequency): distinct-count estimation whose state is a
+    fixed ``m``-register table regardless of corpus scale, the input the
+    shuffle-sizing / dedup-planning decisions need BEFORE paying an exact
+    ``countDistinct`` shuffle (Flajolet et al., "HyperLogLog: the
+    analysis of a near-optimal cardinality estimation algorithm", 2007).
+
+    Engine-parity design (the Bloom/CMS standard): the hash is the
+    repo-wide md5-prefix 60-bit integer, the register index is its top
+    ``HLL_B`` bits, and the rank is ``W+1 − bitlength(remainder)`` via
+    ``bin()`` string length — all exact integer ops both engines compute
+    identically. The harmonic-mean denominator is kept as the EXACT
+    bigint ``Σ 2^(W+1−M[j])`` (dyadic terms, no float sum), so the only
+    float work is one division by it under one ROUND. The small-range
+    linear-counting correction is deliberately omitted — it needs ``ln``,
+    which is not correctly-rounded across engines; sized registers keep
+    the gate corpora in the raw estimator's valid range (``n > 2.5m``)
+    and production picks ``b`` the same way.
+
+    Scale shape: one map-side-combinable MAX per ≤ ``m`` register keys
+    (shuffle carries ≤ m rows per task), two 1-row aggregates, and the
+    exact ``countDistinct`` AUDIT column — the one data-scale shuffle
+    here, kept because this entry's point is the measured estimate-vs-
+    exact error; a 100 TB run reports the estimate alone.
+
+    One row: ``(m, v_zero, sum_scaled, est_n, exact_n, err_ppm)`` — all
+    integers (``err_ppm`` NULL on an empty corpus)."""
+    h = F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
+    keyed = df.select(h.alias("__h")).where(F.col("__h").isNotNull())
+    rem_mod = 1 << HLL_W
+    parts = keyed.select(
+        F.expr(f"CAST(__h DIV {rem_mod}L AS INT)").alias("__j"),
+        (F.col("__h") % rem_mod).alias("__r"),
+    )
+    rho = F.when(F.col("__r") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin("__r"))
+    )
+    regs = (
+        parts.select("__j", rho.alias("__m"))
+        .groupBy("__j")
+        .agg(F.max("__m").alias("__m"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __m)")
+        ).cast("bigint").alias("__sp"),
+    )
+    scaled = agg.select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        (F.lit(HLL_M) - F.col("__present")).cast("bigint").alias("v_zero"),
+        (
+            F.col("__sp")
+            + (F.lit(HLL_M) - F.col("__present"))
+            * F.lit(1 << (HLL_W + 1)).cast("bigint")
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    est = F.lit(HLL_EST_NUMERATOR) / F.col("sum_scaled").cast("double")
+    exact = df.agg(F.countDistinct(value).cast("bigint").alias("exact_n"))
+    return (
+        scaled.select(
+            "m", "v_zero", "sum_scaled",
+            F.round(est).cast("bigint").alias("est_n"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "v_zero",
+            "sum_scaled",
+            "est_n",
+            "exact_n",
+            F.expr(
+                "CASE WHEN exact_n = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                "CAST((ABS(est_n - exact_n) * 1000000L) DIV exact_n AS BIGINT) "
+                "END"
+            ).alias("err_ppm"),
+        )
+    )
+
+
 def mixture_drift(
     docs: DataFrame,
     salt: str = "drift|",

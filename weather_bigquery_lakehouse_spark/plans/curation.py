@@ -2047,6 +2047,69 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.cms_heavy_hitters(docs)
 
 
+def _hll_sql() -> str:
+    w1 = cu.HLL_W + 1
+    return f"""
+WITH h AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(TRIM(text)), 1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (SELECT CAST(hv // {1 << cu.HLL_W} AS INT) AS j, hv % {1 << cu.HLL_W} AS rem FROM h),
+regs AS (
+  SELECT j, MAX(CASE WHEN rem = 0 THEN {w1}
+                     ELSE {w1} - LENGTH(bin(rem)) END) AS mr
+  FROM r GROUP BY j
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({w1} - mr)) AS BIGINT) AS sp
+  FROM regs
+),
+scaled AS (
+  SELECT CAST({cu.HLL_M} AS INT) AS m,
+         CAST({cu.HLL_M} - present AS BIGINT) AS v_zero,
+         CAST(sp + ({cu.HLL_M} - present) * (CAST(1 AS BIGINT) << {w1}) AS BIGINT)
+             AS sum_scaled
+  FROM agg
+),
+est AS (
+  SELECT m, v_zero, sum_scaled,
+         CAST(ROUND({cu.HLL_EST_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+             AS est_n
+  FROM scaled
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT TRIM(text)) AS BIGINT) AS exact_n
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT m, v_zero, sum_scaled, est_n, exact_n,
+       CASE WHEN exact_n = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((ABS(est_n - exact_n) * 1000000) // exact_n AS BIGINT)
+            END AS err_ppm
+FROM est, ex
+"""
+
+
+@_register(
+    "cardinality_hll_documents",
+    _hll_sql(),
+    f"HyperLogLog distinct-document estimate ({cu.HLL_M} registers) vs "
+    "the exact countDistinct, error in integer ppm — the third "
+    "bounded-memory sketch beside Bloom (membership) and count-min "
+    "(frequency): cardinality estimation whose state is a fixed register "
+    "table regardless of corpus scale, the pre-shuffle input to dedup "
+    "planning and shuffle sizing; register index/rank are exact integer "
+    "ops on the repo-wide md5-prefix hash, the harmonic-mean denominator "
+    "stays an exact bigint dyadic sum, and the one float division sits "
+    "under one ROUND — no ln, no float accumulation, hash-identical "
+    "across engines",
+    retired=True,  # staged round 8: window full; sketch-family leaf like decontaminate_bloom/cms_heavy_hitters
+)
+def cardinality_hll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _views(spark, sf_dir, ["documents"])["documents"]
+    return cu.hll_cardinality(docs, F.trim(F.col("text")))
+
+
 # --------------------------------------------------------------------------
 # Contrastive hard-pair mining (positives from dup clusters, hard
 # negatives from the shared LSH bucket space)
