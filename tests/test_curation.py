@@ -953,3 +953,31 @@ def test_hll_cardinality_estimate_and_edges(spark):
     erow = cu.hll_cardinality(empty, F.trim(F.col("text"))).collect()[0]
     assert erow.v_zero == cu.HLL_M and erow.exact_n == 0
     assert erow.err_ppm is None
+
+
+def test_hll_registers_merge_across_shards(spark):
+    """The property that makes HLL the DISTRIBUTED cardinality sketch:
+    registers of a union equal the elementwise MAX of the parts'
+    registers (max is associative, commutative, idempotent), so shards
+    sketch independently and merging is a <= m-row aggregate — never a
+    re-scan. Overlapping shards (shared docs) must merge to the same
+    state as the deduplicated union."""
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 2 == 0)  # overlaps a
+
+    val = F.trim(F.col("text"))
+    whole = {
+        r["__j"]: r["__m"] for r in cu.hll_registers(a.unionByName(b), val).collect()
+    }
+    merged = {
+        r["__j"]: r["__m"]
+        for r in cu.hll_registers(a, val)
+        .unionByName(cu.hll_registers(b, val))
+        .groupBy("__j")
+        .agg(F.max("__m").alias("__m"))
+        .collect()
+    }
+    assert merged == whole

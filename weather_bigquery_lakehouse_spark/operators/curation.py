@@ -1508,6 +1508,31 @@ HLL_EST_NUMERATOR = (
 )
 
 
+def hll_registers(df: DataFrame, value: Column) -> DataFrame:
+    """The HLL sketch STATE: ``(__j, __m)`` — register index (top
+    ``HLL_B`` hash bits) → max rank. This is the mergeable object that
+    makes HLL the distributed cardinality sketch: the registers of a
+    union are the elementwise MAX of the parts' registers (max is
+    associative/commutative/idempotent), so shards sketch independently
+    and a ≤ m-row table merges them — pytest-pinned. One map-side-
+    combinable aggregate over ≤ ``HLL_M`` keys."""
+    h = F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
+    keyed = df.select(h.alias("__h")).where(F.col("__h").isNotNull())
+    rem_mod = 1 << HLL_W
+    parts = keyed.select(
+        F.expr(f"CAST(__h DIV {rem_mod}L AS INT)").alias("__j"),
+        (F.col("__h") % rem_mod).alias("__r"),
+    )
+    rho = F.when(F.col("__r") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin("__r"))
+    )
+    return (
+        parts.select("__j", rho.alias("__m"))
+        .groupBy("__j")
+        .agg(F.max("__m").alias("__m"))
+    )
+
+
 def hll_cardinality(df: DataFrame, value: Column) -> DataFrame:
     """Content-addressed HyperLogLog cardinality estimate of ``value`` —
     the third bounded-memory sketch beside Bloom (membership) and
@@ -1537,21 +1562,7 @@ def hll_cardinality(df: DataFrame, value: Column) -> DataFrame:
 
     One row: ``(m, v_zero, sum_scaled, est_n, exact_n, err_ppm)`` — all
     integers (``err_ppm`` NULL on an empty corpus)."""
-    h = F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("bigint")
-    keyed = df.select(h.alias("__h")).where(F.col("__h").isNotNull())
-    rem_mod = 1 << HLL_W
-    parts = keyed.select(
-        F.expr(f"CAST(__h DIV {rem_mod}L AS INT)").alias("__j"),
-        (F.col("__h") % rem_mod).alias("__r"),
-    )
-    rho = F.when(F.col("__r") == 0, F.lit(HLL_W + 1)).otherwise(
-        F.lit(HLL_W + 1) - F.length(F.bin("__r"))
-    )
-    regs = (
-        parts.select("__j", rho.alias("__m"))
-        .groupBy("__j")
-        .agg(F.max("__m").alias("__m"))
-    )
+    regs = hll_registers(df, value)
     agg = regs.agg(
         F.count(F.lit(1)).cast("bigint").alias("__present"),
         F.sum(
