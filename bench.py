@@ -258,6 +258,16 @@ def main() -> None:
     # leaves this unset and sizes spark.sql.shuffle.partitions to the
     # cluster before the first stateful run (docs/SCALE.md "Knobs").
     stream_parts = os.environ.setdefault("WBL_STREAM_SHUFFLE_PARTITIONS", "8")
+    try:
+        stream_parts = int(stream_parts)
+    except ValueError:
+        # fail BEFORE the sweep: a pre-set garbage value would otherwise
+        # run every timed query and then crash summary construction,
+        # losing both the stdout line and the detail artifact
+        raise SystemExit(
+            f"WBL_STREAM_SHUFFLE_PARTITIONS must be an integer, got "
+            f"{stream_parts!r}"
+        )
 
     spark = build_session(app_name="wbl_bench")
 
@@ -314,7 +324,7 @@ def main() -> None:
         "extended_floor": extended_floor,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "stream_shuffle_partitions": int(stream_parts),
+        "stream_shuffle_partitions": stream_parts,
         "detail": detail_name,
     }
     if load_avg[0] > LOAD_WARN:

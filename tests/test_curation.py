@@ -953,6 +953,12 @@ def test_hll_cardinality_estimate_and_edges(spark):
     erow = cu.hll_cardinality(empty, F.trim(F.col("text"))).collect()[0]
     assert erow.v_zero == cu.HLL_M and erow.exact_n == 0
     assert erow.err_ppm is None
+    # the all-integer contract holds with zero rows: all-zero registers,
+    # sum_scaled = m·2^(W+1), est_n = the raw no-data estimate round(α·m)
+    assert erow.sum_scaled == cu.HLL_M * (1 << (cu.HLL_W + 1))
+    assert erow.est_n == round(
+        cu.HLL_EST_NUMERATOR / (cu.HLL_M * float(1 << (cu.HLL_W + 1)))
+    )
 
 
 def test_hll_registers_merge_across_shards(spark):

@@ -1084,3 +1084,27 @@ def test_ivf_cell_occupancy_partitions_the_corpus(spark, sf_dir):
     from weather_bigquery_lakehouse_spark.plans.extensions import _N_CELLS
 
     assert all(1_000_000 - _N_CELLS < s <= 1_000_000 for s in shares.values())
+
+
+def test_supplied_quantizer_frames_fail_loudly_when_incomplete(spark):
+    """codebook=/centroids= bypass the stand-in path's completeness
+    guard, and an incomplete frame corrupts SILENTLY (a missing sub_id
+    inner-joins that subspace away, so ADC sums over m-1 subspaces; an
+    empty centroid frame empties the index) — both must raise instead."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 3)
+    bad_cb = spark.createDataFrame(
+        [(s, c, [0.0] * 8) for s in range(7) for c in range(4)],
+        "sub_id int, code_id int, __cv array<double>",
+    )
+    with pytest.raises(ValueError, match="sub_id group"):
+        sim.pq_topk(emb, probes, dim=64, m=8, n_codes=4, codebook=bad_cb)
+    with pytest.raises(ValueError, match="sub_id group"):
+        sim.ivfpq_topk(emb, probes, dim=64, m=8, n_codes=4, codebook=bad_cb)
+    with pytest.raises(ValueError, match="sub_id group"):
+        sim.pq_distortion(emb, dim=64, m=8, n_codes=4, codebook=bad_cb)
+    empty_cent = spark.createDataFrame([], "cell_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="centroids frame is empty"):
+        sim.ivf_topk(emb, probes, centroids=empty_cent)
+    with pytest.raises(ValueError, match="centroids frame is empty"):
+        sim.ivfpq_topk(emb, probes, dim=64, centroids=empty_cent)

@@ -1563,10 +1563,14 @@ def hll_cardinality(df: DataFrame, value: Column) -> DataFrame:
     One row: ``(m, v_zero, sum_scaled, est_n, exact_n, err_ppm)`` — all
     integers (``err_ppm`` NULL on an empty corpus)."""
     regs = hll_registers(df, value)
+    # coalesce: SUM over zero register rows is NULL, and the all-integer
+    # contract must hold on an empty corpus too (sum_scaled = m·2^(W+1),
+    # est_n = the documented raw no-data estimate ≈ α·m)
     agg = regs.agg(
         F.count(F.lit(1)).cast("bigint").alias("__present"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __m)")
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - __m)")),
+            F.lit(0),
         ).cast("bigint").alias("__sp"),
     )
     scaled = agg.select(

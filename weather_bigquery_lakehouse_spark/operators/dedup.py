@@ -367,9 +367,8 @@ def incremental_lsh_pairs(
         sig = _signatures_from_shingles(sh, id_col, n_hashes).join(flags, id_col)
     else:
         sig_cols = [id_col] + [f"h{i}" for i in range(n_hashes)]
-        sh_new = _doc_shingles(
-            df.where(new_pred), text_col, id_col, k
-        ).localCheckpoint(eager=True)
+        # consumed exactly once (the signature aggregate) — no checkpoint
+        sh_new = _doc_shingles(df.where(new_pred), text_col, id_col, k)
         sig = (
             _signatures_from_shingles(sh_new, id_col, n_hashes)
             .select(*sig_cols)
@@ -390,10 +389,15 @@ def incremental_lsh_pairs(
         sh_verify = sh.join(cand_docs, id_col, "left_semi")
     else:
         # base text is shingled here and ONLY here — for the
-        # candidate-involved docs, never corpus-wide
+        # candidate-involved docs, never corpus-wide. Materialized once:
+        # _jaccard_from_shingles references its input three times (sizes,
+        # a-side, b-side), and unlike the recompute branch there is no
+        # checkpointed corpus-wide `sh` upstream to absorb the re-reads —
+        # lazy, the candidate tokenize+shingle (and the semi-join) would
+        # run 3x.
         sh_verify = _doc_shingles(
             df.join(cand_docs, id_col, "left_semi"), text_col, id_col, k
-        )
+        ).localCheckpoint(eager=True)
     verified = _jaccard_from_shingles(sh_verify, id_col, threshold, cand)
     link = F.when(
         (F.col("__na") + F.col("__nb")) == 2, F.lit("new_new")

@@ -232,7 +232,7 @@ def ivf_topk(
             F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
         )
     else:
-        centroids = centroids.select("cell_id", "centroid")
+        centroids = _validated_centroids(centroids)
     c = (
         assign_cells(
             embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -469,6 +469,41 @@ def _pq_codebook(
     return F.broadcast(cb_frame)
 
 
+def _validated_codebook(codebook: DataFrame, m: int) -> Column:
+    """Broadcast a SUPPLIED codebook after the completeness check the
+    stand-in path (:func:`_pq_codebook`) enforces: a frame missing a
+    ``sub_id`` group corrupts SILENTLY — the encode/ADC inner join drops
+    that subspace for every vector, so distances sum over m−1 subspaces
+    and rankings are wrong with no error. Fail loudly instead; the probe
+    is one job over the ≤ m·n_codes-row (usually checkpointed) frame."""
+    cb = codebook.select("sub_id", "code_id", "__cv")
+    present = {
+        r["sub_id"]
+        for r in cb.select("sub_id").distinct().collect()
+    }
+    missing = sorted(set(range(m)) - present)
+    if missing or not present:
+        raise ValueError(
+            f"codebook incomplete: sub_id group(s) {missing or 'ALL'} absent "
+            f"(need 0..{m - 1}) — ADC would silently score over the "
+            "remaining subspaces; check the codebook's m or its filter"
+        )
+    return F.broadcast(cb)
+
+
+def _validated_centroids(centroids: DataFrame) -> DataFrame:
+    """Normalize + guard a SUPPLIED centroid frame: an empty one yields a
+    silently empty index (every cell assignment joins away) where the
+    first-n stand-in would at least mirror the corpus — fail loudly."""
+    cent = centroids.select("cell_id", "centroid")
+    if not cent.take(1):
+        raise ValueError(
+            "centroids frame is empty — every cell assignment would join "
+            "away; check the training input or its filter"
+        )
+    return cent
+
+
 def pq_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -512,7 +547,7 @@ def pq_topk(
     """
     sub = _pq_sub(dim, m)
     cb = (
-        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        _validated_codebook(codebook, m)
         if codebook is not None
         else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
@@ -572,7 +607,7 @@ def pq_distortion(
     min/sum aggregates — never more than one pass over the corpus."""
     sub = _pq_sub(dim, m)
     cb = (
-        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        _validated_codebook(codebook, m)
         if codebook is not None
         else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
@@ -680,7 +715,7 @@ def ivfpq_topk(
     """
     sub = _pq_sub(dim, m)
     cb = (
-        F.broadcast(codebook.select("sub_id", "code_id", "__cv"))
+        _validated_codebook(codebook, m)
         if codebook is not None
         else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
@@ -689,7 +724,7 @@ def ivfpq_topk(
             F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
         )
     else:
-        centroids = centroids.select("cell_id", "centroid")
+        centroids = _validated_centroids(centroids)
     # corpus: one pass — coarse-assign, then encode with the cell id
     # riding along (no post-encode join to re-attach it)
     corpus_cells = assign_cells(

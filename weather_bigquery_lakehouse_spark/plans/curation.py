@@ -2062,7 +2062,7 @@ regs AS (
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS present,
-         CAST(SUM(CAST(1 AS BIGINT) << ({w1} - mr)) AS BIGINT) AS sp
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({w1} - mr)), 0) AS BIGINT) AS sp
   FROM regs
 ),
 scaled AS (

@@ -97,6 +97,14 @@ def _stream_shuffle_scope(spark: SparkSession):
     if not n:
         yield
         return
+    try:
+        int(n)
+    except ValueError:
+        # raise at stream START with the variable's name — spark.conf
+        # would otherwise surface an opaque number-format error mid-plan
+        raise ValueError(
+            f"{STREAM_SHUFFLE_ENV} must be an integer, got {n!r}"
+        )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, n)

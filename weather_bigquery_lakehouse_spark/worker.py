@@ -9,6 +9,13 @@ from __future__ import annotations
 
 import warnings
 
+# Reused Python workers (spark.python.worker.reuse, default on) keep
+# module state across tasks and grouped-state calls, so an unguarded
+# filterwarnings would append one duplicate filter tuple per call —
+# unbounded warnings.filters growth in a long stream. One flag per
+# worker process is exactly the right scope.
+_FILTER_INSTALLED = False
+
 
 def silence_arrow_concat_futurewarning() -> None:
     """Suppress pandas' concat-with-empty-frames FutureWarning in this
@@ -24,8 +31,12 @@ def silence_arrow_concat_futurewarning() -> None:
     one message (never a blanket ignore). Remove when the floor PySpark
     version pins pandas ≥3.0 behavior itself.
     """
+    global _FILTER_INSTALLED
+    if _FILTER_INSTALLED:
+        return
     warnings.filterwarnings(
         "ignore",
         message="The behavior of DataFrame concatenation with empty or all-NA entries",
         category=FutureWarning,
     )
+    _FILTER_INSTALLED = True
