@@ -915,3 +915,48 @@ def test_read_snapshot_prefers_archive_over_stale_current_marker(spark, tmp_path
     # snapshot the stale marker would route to
     assert {r.x for r in read_snapshot(spark, zone, 1).collect()} == {1}
     assert {r.x for r in read_snapshot(spark, zone).collect()} == {2}
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from weather_bigquery_lakehouse_spark.io.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, None, "d")],
+        "k int, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "b"), (3, 31, "c"), (4, None, "d"), (5, 50, "e")],
+        "k int, v int, s string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 removed, 2 unchanged (dropped), 3 changed, 4 unchanged despite the
+    # null field (null-safe comparison), 5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from weather_bigquery_lakehouse_spark.io.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10, "x")], "k int, v int, noise string")
+    new = spark.createDataFrame([(1, 10, "y")], "k int, v int, noise string")
+    # noise differs but is excluded from the comparison -> no diff rows
+    assert snapshot_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+    # included -> the row reports as changed
+    assert snapshot_diff(old, new, ["k"]).count() == 1
+
+
+def test_snapshot_diff_entry_is_idempotent_across_sweeps(spark, sf_dir):
+    from weather_bigquery_lakehouse_spark.plans.extensions import (
+        _SNAP_DIFF_VERSIONS,
+        snapshot_diff_orders,
+    )
+
+    first = snapshot_diff_orders(spark, sf_dir).collect()
+    versions = dict(_SNAP_DIFF_VERSIONS)
+    second = snapshot_diff_orders(spark, sf_dir).collect()
+    # a repeat sweep must reuse the committed versions, not mint new ones
+    assert dict(_SNAP_DIFF_VERSIONS) == versions
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

@@ -217,6 +217,41 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None):
     return spark.read.parquet(path.rstrip("/"))
 
 
+def snapshot_diff(old_df, new_df, key_cols: list[str], compare_cols: list[str] | None = None):
+    """Row-level diff between two snapshots of the same table, keyed on
+    ``key_cols``: rows only in the new snapshot are ``added``, rows only
+    in the old are ``removed``, rows in both with any differing compare
+    column are ``changed``; identical rows drop out. This is the audit
+    view behind time travel — "what did commit N actually change" — and
+    the input to incremental downstream refresh (ship the diff, not the
+    snapshot).
+
+    Shape: ONE key-keyed full-outer join (both sides shuffle on the key —
+    at 100 TB land both snapshots bucketed by the key and the exchange
+    disappears), then a null-safe struct comparison evaluated JVM-side.
+    Returns ``key_cols + (change_type, __old struct, __new struct)`` —
+    callers project the struct fields they want.
+    """
+    from pyspark.sql import functions as F
+
+    compare = compare_cols or [c for c in new_df.columns if c not in key_cols]
+    o = old_df.select(*key_cols, F.struct(*compare).alias("__old"))
+    n = new_df.select(*key_cols, F.struct(*compare).alias("__new"))
+    return (
+        o.join(n, list(key_cols), "full_outer")
+        .where(~F.col("__old").eqNullSafe(F.col("__new")))
+        .select(
+            *key_cols,
+            F.when(F.col("__old").isNull(), F.lit("added"))
+            .when(F.col("__new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            "__old",
+            "__new",
+        )
+    )
+
+
 def _list_files(path: str, suffix: str = ".parquet") -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
