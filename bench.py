@@ -187,6 +187,18 @@ EXTENDED = [
     "ann_recall_report",
     "ivf_cell_occupancy",
     "cardinality_hll_documents",
+    # round-8 late additions: bpe_merge_table OWNS the cold tokenizer
+    # training (PRE_REP purges the one-slot memo); bpe_vocab and
+    # bpe_token_stats run after it over the warm trained state — the
+    # production shape (train once, consume everywhere).
+    # snapshot_diff_orders lands its two versioned snapshots on first
+    # invocation and re-diffs the committed versions on later reps, so
+    # its median times the time-travel read + diff (the operator), not
+    # the setup writes.
+    "bpe_merge_table",
+    "bpe_vocab",
+    "bpe_token_stats",
+    "snapshot_diff_orders",
 ]
 
 
@@ -235,12 +247,20 @@ def _reset_kmeans_centroid_cache(_sf_dir: str) -> None:
     _CENTROID_CACHE.clear()
 
 
+def _reset_bpe_cache(_sf_dir: str) -> None:
+    """bpe_merge_table owns the cold tokenizer-training cost."""
+    from weather_bigquery_lakehouse_spark.operators.bpe import _BPE_CACHE
+
+    _BPE_CACHE.clear()
+
+
 # per-query state reset run before EACH rep (outside the timed section)
 PRE_REP = {
     "streaming_chunk_index": _reset_chunk_index_state,
     "embedding_dup_clusters": _reset_pair_cluster_cache,
     "ann_kmeans_codebook": _reset_kmeans_codebook_cache,
     "ann_kmeans_centroids": _reset_kmeans_centroid_cache,
+    "bpe_merge_table": _reset_bpe_cache,
 }
 
 

@@ -522,3 +522,36 @@ def test_kmeans_matches_exact_reference_on_arbitrary_corpora(
     assert got == _numpy_free_reference(
         vecs, n_codes=n_codes, n_iter=n_iter, sample_n=sample_n
     )
+
+
+# --- BPE trainer vs a pure-Python reference on arbitrary tiny corpora -----
+
+_bpe_docs = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_bpe_docs, st.integers(0, 4))
+def test_bpe_train_agrees_with_reference_on_arbitrary_corpora(
+    spark, texts, n_merges
+):
+    from weather_bigquery_lakehouse_spark.operators import bpe
+    from tests.test_bpe import _ref_bpe
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    ref_merges, ref_words = _ref_bpe(counts, n_merges)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe.bpe_train(df, n_merges=n_merges)
+    assert merges == ref_merges
+    got = {r["word"]: r["syms"] for r in words.collect()}
+    assert got == dict(ref_words)
