@@ -199,6 +199,7 @@ EXTENDED = [
     "bpe_vocab",
     "bpe_token_stats",
     "snapshot_diff_orders",
+    "pagerank_centrality",
 ]
 
 
