@@ -555,3 +555,27 @@ def test_bpe_train_agrees_with_reference_on_arbitrary_corpora(
     assert merges == ref_merges
     got = {r["word"]: r["syms"] for r in words.collect()}
     assert got == dict(ref_words)
+
+
+# --- PageRank vs a pure-Python reference on arbitrary small graphs --------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_pagerank_agrees_with_reference_on_arbitrary_graphs(spark, data):
+    from tests.test_graph import _ref_pagerank, _run
+
+    n = data.draw(st.integers(1, 6))
+    nodes = list(range(n))
+    # arbitrary directed multigraph INCLUDING self-loops and duplicate
+    # edges — out-degree counts multiplicity on both sides
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            max_size=12,
+        )
+    )
+    n_iter = data.draw(st.integers(1, 3))
+    assert _run(spark, nodes, edges, n_iter=n_iter) == _ref_pagerank(
+        nodes, edges, n_iter=n_iter
+    )
