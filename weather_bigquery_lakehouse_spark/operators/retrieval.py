@@ -1,0 +1,268 @@
+"""Lexical retrieval: exact-integer BM25 top-k over an inverted index.
+
+The retrieval family so far is dense (cosine / LSH / IVF / PQ over the
+``embeddings`` table). BM25 is the lexical complement — the scorer behind
+retrieval-based decontamination sweeps, RAG hybrid search, and "find the
+training docs that answer this eval question" audits — and at corpus
+scale it is a pure inverted-index computation:
+
+  one corpus scan      → postings (term, doc, tf) + doc lengths, both from
+                         the SAME tokenize (one aggregate each);
+  two 1-row aggregates → corpus size N and total token count (broadcast);
+  term-keyed equi-join → query terms × postings: work is Σ df(term) over
+                         query terms, never |queries| × |corpus|;
+  one combinable sum   → per-(query, doc) score from per-term partials;
+  bounded window       → top-k over each query's candidate set only.
+
+Scale levers, explicitly:
+
+  * ``max_df_ppm`` drops query terms whose document frequency exceeds a
+    ppm ceiling — the classic stopword guard. Without it one query
+    containing "the" joins against ~every posting in the corpus; with it
+    the join fan-out per term is bounded by ``max_df_ppm × N / 1e6``.
+    The cut is applied identically in the oracle, and dropped terms are
+    observable in ``bm25_query_terms`` accounting.
+  * The postings side shuffles ONCE keyed on the term; query terms are a
+    broadcast (queries are an eval sample, not a second corpus).
+
+Arithmetic is exact integer end to end — the engine's bit-portability
+rule for trained/derived state (same contract as ``quality_bigram_lm``
+and ``pagerank_centrality``). With k1 = 6/5 and b = 3/4, the classic
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+clears denominators to a single integral division per matched term:
+
+    avgdl_milli = (1000·T) div N           (T = corpus tokens, N = docs)
+    idf_ratio   = (N+1)/(df+1)             (ratio-IDF — the house log-free
+                                            form shared with tfidf_top_terms;
+                                            order-equivalent to log-idf)
+    score_micro = (SCALE·(N+1)·22·tf·A) div ((df+1)·(10·tf·A + 3·A + 9000·dl))
+
+with A = avgdl_milli and SCALE = 1e6. Numerators are computed in
+DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — at 100 TB (N ~ 1e11 docs,
+T ~ 2.5e13 tokens, A ~ 1e6 milli-tokens) the largest product is
+~1e6·1e11·22·1e5·1e6 ≈ 2e29 « 1e38 — and the per-term quotient
+(≤ SCALE·idf·(k1+1)/k1 ≈ 2.2e12 here) plus its per-document sum stay
+inside BIGINT. Spark's ``div`` on DECIMAL(38,0) and DuckDB's ``//`` on
+HUGEINT floor identically on non-negative operands (verified), so the
+scores are a pure function of the corpus — no IEEE float anywhere.
+
+Query-side convention: a query is a SET of terms (qtf is not modeled —
+probe documents are treated as keyword bags, the standard choice for
+doc-as-query dedup/decontamination sweeps, and the one that keeps the
+broadcast side minimal).
+
+Reference parity: the reference engine has no retrieval surface at all
+(`/root/reference/src/**` is ingest + cleaning + star schema); this module
+is part of the LLM-training-data extension surface (SURVEY.md §2.9),
+derived from Robertson & Spärck Jones' BM25 as published (SIGIR '94 /
+TREC-3) and the public Lucene/Trino practice of df-capped query terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .curation import md5_bucket
+from .text import tokens_expr
+
+# BM25 constants shared with the oracle SQL in plans/extensions.py.
+# k1 = K1_NUM/K1_DEN = 1.2, b = B_NUM/B_DEN = 0.75 — with the denominators
+# cleared (see module docstring) they appear as the integer coefficients
+# below; regenerate C_* if you change them:
+#   C_TF  = K1_DEN·B_DEN·(K1_NUM+K1_DEN) · tf·A   (numerator, before idf)
+#   score = idf · C_TOP·tf·A / (C_DEN_TF·tf·A + C_DEN_A·A + C_DEN_DL·1000·dl)
+BM25_SCALE = 1_000_000  # micro-units
+_C_TOP = 22  # (k1+1)·s·... reduced: 44/2 — keep the reduced form
+_C_DEN_TF = 10
+_C_DEN_A = 3
+_C_DEN_DL = 9000  # 9 · 1000 (dl is in tokens, A in milli-tokens)
+
+# Default stopword ceiling: drop query terms present in > 25% of docs.
+DEFAULT_MAX_DF_PPM = 250_000
+
+_DEC = "decimal(38,0)"
+
+
+def corpus_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One tokenize → (postings, doc_lengths, totals).
+
+    postings:    (term, doc_id, tf, df) — term-keyed; df attached via a
+                 second aggregate on the same exploded stream.
+    doc_lengths: (doc_id, dl) — token count per doc.
+    totals:      1 row (n_docs, total_tokens, avgdl_milli) — broadcast.
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__t")
+    )
+    lengths = toks.select(
+        "doc_id", F.size("__t").cast("bigint").alias("dl")
+    ).where(F.col("dl") > 0)
+    terms = toks.select("doc_id", F.explode("__t").alias("term"))
+    tf = terms.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    postings = tf.join(dfreq, "term")
+    totals = lengths.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"CAST((CAST(1000 AS {_DEC}) * total_tokens)"
+            f" div CAST(n_docs AS {_DEC}) AS BIGINT)"
+        ).alias("avgdl_milli"),
+    )
+    return postings, lengths, totals
+
+
+def probe_queries(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_pct: int = 2,
+    salt: str = "bm25|",
+) -> DataFrame:
+    """Deterministic md5-slice of the corpus as the query set:
+    (query_id, term) with DISTINCT terms per query — the doc-as-query
+    convention used by the decontamination sweeps. Content-addressed like
+    every sampling decision in the engine (reproducible across engines,
+    retries, and partition layouts)."""
+    probes = docs.where(F.col(text_col).isNotNull()).where(
+        md5_bucket(id_col, salt=salt) < probe_pct
+    )
+    return (
+        probes.select(
+            F.col(id_col).alias("query_id"), tokens_expr(text_col).alias("__t")
+        )
+        .select("query_id", F.explode("__t").alias("term"))
+        .distinct()
+    )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists (Cormack,
+    Clarke & Büttcher, SIGIR '09): the standard hybrid-search combiner
+    for lexical + dense retrievers whose raw scores are incomparable.
+
+    Each input frame carries (query_col, id_col, rank_col); the fused
+    score is the exact integer
+
+        rrf_micro(q, d) = Σ_lists  RRF_SCALE div (rrf_k + rank)
+
+    — rank-only, so the fusion is immune to the retrievers' score scales
+    AND to float formatting drift across engines. Physically this is a
+    unionByName of the (already small, top-pool-bounded) lists followed
+    by ONE map-side-combinable (query, doc) sum — no join between the
+    retrievers' outputs, no all-pairs anything; the final top-k window is
+    bounded by Σ pool sizes per query. Output: (query_col, id_col,
+    rrf_micro, n_lists, rank) with ties broken on id ascending.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    part = F.expr(
+        f"CAST({BM25_SCALE} AS BIGINT) div CAST({rrf_k} + {rank_col} AS BIGINT)"
+    )
+    slim = [
+        df.select(query_col, id_col, part.alias("__part")) for df in lists
+    ]
+    unioned = slim[0]
+    for df in slim[1:]:
+        unioned = unioned.unionByName(df)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.sum("__part").cast("bigint").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_micro", "n_lists", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    max_df_ppm: int = DEFAULT_MAX_DF_PPM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_pct: int = 2,
+) -> DataFrame:
+    """Top-``k`` BM25 matches per query over the ``docs`` corpus.
+
+    ``queries``: (query_id, term) frame — defaults to
+    :func:`probe_queries`' md5-slice. Output: (query_id, doc_id,
+    score_micro, rank); a query's own document is excluded (the
+    doc-as-query convention), ties break on doc_id ascending so the
+    ranking is a pure function of the corpus.
+    """
+    if queries is None:
+        queries = probe_queries(
+            docs, text_col=text_col, id_col=id_col, probe_pct=probe_pct
+        )
+    postings, lengths, totals = corpus_postings(
+        docs, text_col=text_col, id_col=id_col
+    )
+    # Stopword guard: df·1e6 > max_df_ppm·N drops the term BEFORE the join
+    # (integer comparison — no ratio rounding ambiguity). Applied on the
+    # postings side so the plan prunes the fan-out, not just the result.
+    matched = (
+        postings.join(F.broadcast(queries), "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .where(
+            F.col("df") * F.lit(1_000_000)
+            <= F.lit(max_df_ppm) * F.col("n_docs")
+        )
+    )
+    num = (
+        F.lit(BM25_SCALE).cast(_DEC)
+        * (F.col("n_docs") + F.lit(1)).cast(_DEC)
+        * F.lit(_C_TOP).cast(_DEC)
+        * F.col("tf").cast(_DEC)
+        * F.col("avgdl_milli").cast(_DEC)
+    )
+    den = (F.col("df") + F.lit(1)).cast(_DEC) * (
+        F.lit(_C_DEN_TF).cast(_DEC) * F.col("tf").cast(_DEC) * F.col("avgdl_milli").cast(_DEC)
+        + F.lit(_C_DEN_A).cast(_DEC) * F.col("avgdl_milli").cast(_DEC)
+        + F.lit(_C_DEN_DL).cast(_DEC) * F.col("dl").cast(_DEC)
+    )
+    term_score = F.expr(
+        "CAST(__num div __den AS BIGINT)"
+    )
+    scored = (
+        matched.withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn("__s", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__s").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
