@@ -140,6 +140,93 @@ def test_bm25_property_matches_reference(spark, corpus, k, cap):
     assert got == _ref_bm25(corpus, queries, k=k, max_df_ppm=cap)
 
 
+# --- reciprocal-rank fusion ------------------------------------------------
+
+def _ref_rrf(lists, k=10, rrf_k=60):
+    """lists: [{(q, d): rank}]. Python-int floor arithmetic."""
+    acc: dict[tuple, list[int]] = {}
+    for lst in lists:
+        for (q, d), rank in lst.items():
+            acc.setdefault((q, d), []).append(rt.BM25_SCALE // (rrf_k + rank))
+    fused = {
+        qd: (sum(parts), len(parts)) for qd, parts in acc.items()
+    }
+    out = {}
+    byq: dict[object, list] = {}
+    for (q, d), (s, n) in fused.items():
+        byq.setdefault(q, []).append((d, s, n))
+    for q, rows in byq.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s, n) in enumerate(rows[:k], start=1):
+            out[(q, d)] = (s, n, rank)
+    return out
+
+
+def _rrf_run(spark, lists, k=10, rrf_k=60):
+    dfs = [
+        spark.createDataFrame(
+            [(q, d, r) for (q, d), r in lst.items()],
+            "query_id long, doc_id long, rank int",
+        )
+        for lst in lists
+    ]
+    got = rt.rrf_fuse(dfs, k=k, rrf_k=rrf_k)
+    return {
+        (r["query_id"], r["doc_id"]): (r["rrf_micro"], r["n_lists"], r["rank"])
+        for r in got.collect()
+    }
+
+
+def test_rrf_matches_reference_and_rewards_agreement(spark):
+    # doc 7 is mid-ranked in BOTH lists; doc 1/9 top-ranked in only one.
+    lex = {(1, 1): 1, (1, 7): 2, (1, 3): 3}
+    den = {(1, 9): 1, (1, 7): 2, (1, 4): 3}
+    got = _rrf_run(spark, [lex, den], k=10)
+    assert got == _ref_rrf([lex, den], k=10)
+    # agreement wins: rank-2 in both > rank-1 in one (2/(62) > 1/61)
+    assert got[(1, 7)][2] == 1 and got[(1, 7)][1] == 2
+    assert got[(1, 1)][1] == 1 and got[(1, 9)][1] == 1
+    # single-list docs tie exactly (same rank 1) → doc_id ascending
+    assert got[(1, 1)][2] == 2 and got[(1, 9)][2] == 3
+
+
+def test_rrf_single_list_preserves_order_and_k_cuts(spark):
+    lst = {(2, d): r for r, d in enumerate([5, 3, 8, 1], start=1)}
+    got = _rrf_run(spark, [lst], k=2)
+    assert set(got) == {(2, 5), (2, 3)}
+    assert got[(2, 5)][2] == 1 and got[(2, 3)][2] == 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)),
+            st.integers(1, 40),
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(1, 5),
+)
+def test_rrf_property_matches_reference(spark, lists, k):
+    got = _rrf_run(spark, lists, k=k)
+    assert got == _ref_rrf(lists, k=k)
+
+
+def test_rrf_plan_has_no_join_between_lists(spark):
+    """Fusion must be union + ONE aggregate — a join between retriever
+    outputs would shuffle both lists twice and break when a doc appears
+    in only one list."""
+    a = spark.createDataFrame([(1, 2, 1)], "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame([(1, 3, 1)], "query_id long, doc_id long, rank int")
+    plan = _plan(rt.rrf_fuse([a, b]))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + window only
+    assert "Union" in plan
+
+
 def _plan(df, mode="simple"):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
