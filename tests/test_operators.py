@@ -83,6 +83,85 @@ def test_lsh_bucket_cap_drops_viral_cluster(spark):
     assert len(pairs) == 50 * 49 // 2
 
 
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_pairs_matches_python_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),  # 2 edits
+        (3, "totally unrelated text about something else entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["edit_distance"], r["sim_ppm"])
+        for r in dd.edit_distance_pairs(
+            docs, candidates=cand, min_sim_ppm=0
+        ).collect()
+    }
+    txt = dict(rows)
+    for (a, b), (lev, sim) in got.items():
+        exp_lev = _py_lev(txt[a], txt[b])
+        maxlen = max(len(txt[a]), len(txt[b]))
+        assert lev == exp_lev
+        assert sim == ((maxlen - exp_lev) * 1_000_000) // maxlen
+    assert got[(1, 4)] == (0, 1_000_000)
+    assert got[(1, 2)][1] > 900_000 > got[(1, 3)][1]
+
+
+def test_edit_distance_threshold_and_length_prefilter_agree(spark):
+    """The length-gap prefilter must be an exact superset of the final
+    predicate: results with the prefilter (production path) equal a run
+    where the bound can never trigger (min_sim_ppm=0, filtered after)."""
+    rows = [(i, "base text " * (1 + i % 5) + "tail") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(a + 1, 20)],
+        "doc_a long, doc_b long",
+    )
+    strict = {
+        (r["doc_a"], r["doc_b"]): r["sim_ppm"]
+        for r in dd.edit_distance_pairs(
+            docs, candidates=cand, min_sim_ppm=700_000
+        ).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["sim_ppm"]
+        for r in dd.edit_distance_pairs(
+            docs, candidates=cand, min_sim_ppm=0
+        ).collect()
+        if r["sim_ppm"] >= 700_000
+    }
+    assert strict == loose and strict  # non-empty and identical
+
+
+def test_edit_distance_prefix_cap_bounds_the_kernel(spark):
+    """max_chars caps the compared prefix: two docs identical in the first
+    max_chars chars score 1.0 even when their tails differ."""
+    rows = [(1, "x" * 100 + "AAA"), (2, "x" * 100 + "BBBBBB")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    capped = dd.edit_distance_pairs(
+        docs, candidates=cand, min_sim_ppm=0, max_chars=100
+    ).collect()
+    assert capped[0]["edit_distance"] == 0 and capped[0]["sim_ppm"] == 1_000_000
+    full = dd.edit_distance_pairs(
+        docs, candidates=cand, min_sim_ppm=0, max_chars=10_000
+    ).collect()
+    assert full[0]["edit_distance"] == 6  # AAA -> BBBBBB
+
+
 def test_jaccard_scores(docs):
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert out[(1, 4)] == 1.0          # exact dup
