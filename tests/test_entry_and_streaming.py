@@ -598,6 +598,56 @@ def test_interval_join_stream_matches_and_drops_late(spark, tmp_path):
     }
 
 
+def test_interval_join_outer_emits_unmatched_on_watermark_closure(spark, tmp_path):
+    """LEFT-OUTER contract: matched pairs emit as in the inner join;
+    purchases with no in-window click emit NULL-padded once the click
+    watermark crosses their eviction deadline (driven by the far-future
+    sentinel pair, which itself must never surface). Equals the batch
+    LEFT JOIN on a finite replay."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_bigquery_lakehouse_spark.streaming.ingest import (
+        run_interval_join_outer_stream,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(12), 1, "purchase"),   # matched by click 11:30
+        (2, ts(11, 30), 1, "click"),
+        (3, ts(13), 2, "purchase"),   # no click for user 2 → NULL row
+        (4, ts(14), 3, "click"),      # click without purchase → no row
+        (5, ts(15), 1, "purchase"),   # u1's click is out of window → NULL
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.nulls(len(rows), pa.float64()),
+            "props": pa.nulls(len(rows), pa.string()),
+        }
+    )
+    src = str(tmp_path / "events_outer.parquet")
+    pq.write_table(table, src)
+    out = run_interval_join_outer_stream(
+        spark, src, delay="1 days", window_seconds=3600
+    )
+    got = {(r.event_id, r.user_id, str(r.click_ts)) for r in out.collect()}
+    assert got == {
+        (1, 1, "2024-01-01 11:30:00"),
+        (3, 2, "None"),
+        (5, 1, "None"),
+    }
+    # the sentinels (user −1) never surface
+    assert all(uid >= 0 for _e, uid, _c in got)
+
+
 def test_enrich_stream_picks_up_dim_updates_between_runs(spark, tmp_path):
     """Stream-static contract: the dim is re-read per run/batch, so rows
     processed after a dim update carry the NEW attributes while already-

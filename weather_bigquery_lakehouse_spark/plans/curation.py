@@ -1725,6 +1725,40 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_STREAM_INTERVAL_JOIN_OUTER = f"""
+SELECT e.event_id, e.user_id, e.ts, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL {_IVJ_WINDOW_S} SECOND AND c.ts < e.ts
+"""
+
+
+@_register(
+    "streaming_interval_join_outer",
+    _SQL_STREAM_INTERVAL_JOIN_OUTER,
+    "LEFT-OUTER watermarked stream-stream interval join: matched pairs "
+    "emit on arrival, unmatched purchases emit NULL-padded on watermark "
+    "CLOSURE — the only join family where a row's absence is an output; "
+    "a 2-row far-future sentinel pushes the finite replay's final "
+    "watermark past every eviction deadline so the no-data micro-batch "
+    "flushes exactly the batch LEFT JOIN complement; state identical to "
+    "the inner join (O(rate x (delay + window)) per side)",
+    retired=True,  # staged round 8: window full; streaming-join family alternate (same state machinery as driver-green streaming_interval_join)
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest import run_interval_join_outer_stream
+
+    return run_interval_join_outer_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        delay=_IVJ_DELAY,
+        window_seconds=_IVJ_WINDOW_S,
+    )
+
+
 # --------------------------------------------------------------------------
 # Z-order layout key (OPTIMIZE ZORDER's math, oracle-checked)
 # --------------------------------------------------------------------------

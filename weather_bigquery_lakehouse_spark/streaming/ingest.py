@@ -394,6 +394,8 @@ def run_interval_join_stream(
     window_seconds: int = 3600,
     checkpoint_dir: str | None = None,
     output_dir: str | None = None,
+    join_type: str = "inner",
+    source_dir: str | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream interval join — click→purchase attribution
     as the events arrive, the streaming twin of the batch
@@ -418,7 +420,7 @@ def run_interval_join_stream(
     checkpoint = checkpoint_dir or _scratch("wbl_stream_ckpt_")
     output = output_dir or _scratch("wbl_stream_ivj_")
     schema = events_schema(spark, events_path)  # footer peek before dir-wrap
-    zone = _as_stream_dir(events_path)
+    zone = source_dir if source_dir is not None else _as_stream_dir(events_path)
 
     def _side(event_type: str, cols: dict[str, str]) -> DataFrame:
         s = normalize_event_ts(spark.readStream.schema(schema).parquet(zone))
@@ -447,13 +449,19 @@ def run_interval_join_stream(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
         & (F.col("click_ts") < F.col("ts")),
-        "inner",
+        join_type,
     ).select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+    # NOTE: no sentinel guard INSIDE the streaming plan. A post-join
+    # filter on user_id gets pushed below the purchase side's
+    # EventTimeWatermark operator, so the watermark node never sees the
+    # far-future sentinel and the global watermark (min of sides) stays
+    # pinned — silently turning the outer join back into the inner one.
+    # The guard lives on the batch re-read below instead.
     with _stream_shuffle_scope(spark):
         (
             joined.writeStream.format("parquet")
@@ -464,9 +472,122 @@ def run_interval_join_stream(
             .start()
             .awaitTermination()
         )
-    return spark.read.schema(
+    result = spark.read.schema(
         "event_id bigint, user_id bigint, ts timestamp_ntz, click_ts timestamp_ntz"
     ).parquet(output)
+    if join_type != "inner":
+        # sentinel guard (user_id = −1 rows must never surface even if a
+        # future Spark version evicts them): applied on the BATCH re-read,
+        # never inside the streaming plan — see the note above the start.
+        result = result.where(F.col("user_id") >= 0)
+    return result
+
+
+def _outer_join_stream_dir(events_path: str, margin_days: int) -> str:
+    """Dedicated stream-source dir for the OUTER interval join: the events
+    file symlinked beside a 2-row watermark SENTINEL file (one far-future
+    'purchase' + one far-future 'click', user_id = −1).
+
+    Outer-join NULL emission is driven by watermark CLOSURE, not arrival:
+    an unmatched purchase emits only once the click side's watermark
+    proves no matching click can still arrive. On a finite replay the
+    watermark stops at (max real ts − delay), which for a span-covering
+    delay never passes ANY purchase — so without help a left-outer run
+    degenerates to the inner join. The sentinels push both watermarks to
+    (max_ts + margin − delay); with margin > delay every real purchase's
+    eviction deadline is crossed and the final no-data micro-batch
+    flushes every unmatched row. The sentinels themselves sit ABOVE the
+    final watermark, so they stay buffered and never emit (the user_id
+    guard in the query is belt-and-braces).
+
+    The dir is deterministic (md5 of the source path), NOT shared with
+    `_as_stream_dir`'s wrapper: sentinel rows must never leak into the
+    other streaming entries reading the same zone. Local-filesystem
+    harness convenience — a production zone would land the sentinel as a
+    normal control record at stream close."""
+    import datetime
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    target = os.path.abspath(events_path)
+    key = hashlib.md5(target.encode()).hexdigest()[:12]
+    zone = os.path.join(
+        tempfile.gettempdir(), f"wbl_{os.getuid()}", f"stream_outer_{key}"
+    )
+    os.makedirs(zone, exist_ok=True)
+    link = os.path.join(zone, os.path.basename(events_path))
+    if os.path.lexists(link):
+        if not (os.path.islink(link) and os.readlink(link) == target):
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
+    sentinel = os.path.join(zone, "zz_watermark_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        src = pq.read_table(target, columns=None)
+        ts_type = src.schema.field("ts").type
+        max_ts = pc.max(src["ts"]).as_py()
+        if isinstance(max_ts, int):  # TIMESTAMP(NANOS) fixtures read as int64
+            far = max_ts + margin_days * 86_400 * 1_000_000_000
+        else:
+            far = max_ts + datetime.timedelta(days=margin_days)
+        arrays, names = [], []
+        for field in src.schema:
+            names.append(field.name)
+            if field.name == "ts":
+                arrays.append(pa.array([far, far], type=ts_type))
+            elif field.name == "event_type":
+                arrays.append(pa.array(["purchase", "click"], type=field.type))
+            elif field.name in ("event_id", "user_id"):
+                arrays.append(pa.array([-1, -1], type=field.type))
+            else:
+                arrays.append(pa.nulls(2, type=field.type))
+        pq.write_table(pa.table(dict(zip(names, arrays))), sentinel)
+    return zone
+
+
+def run_interval_join_outer_stream(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "35 days",
+    window_seconds: int = 3600,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join: every purchase
+    emits — matched pairs on ARRIVAL (identical to the inner join), and
+    purchases with NO click in ``[ts − window, ts)`` as a NULL-padded row
+    once the click watermark passes their eviction deadline. This is the
+    attribution-with-misses shape (conversion WITHOUT a preceding click
+    is itself the signal) and the only join family where a row's ABSENCE
+    is an output.
+
+    State and eviction are exactly the inner join's
+    (O(rate × (delay + window)) per side); what's new is the emission
+    rule, which needs the watermark to actually CROSS the buffered rows —
+    see :func:`_outer_join_stream_dir` for how a finite replay gets
+    there. On such a replay the emitted set equals the batch LEFT JOIN
+    under any batching: no row is late (span-covering delay), matches are
+    watermark-independent, and NULL emission is exactly-once per
+    unmatched purchase (checkpoint-deduped across restarts)."""
+    delay_value, delay_unit = delay.split()
+    if delay_unit not in ("day", "days"):
+        raise ValueError(f"delay must be in days for the sentinel margin: {delay!r}")
+    margin_days = int(delay_value) + 2  # past every deadline, incl. window
+    zone = _outer_join_stream_dir(events_path, margin_days)
+    return run_interval_join_stream(
+        spark,
+        events_path,
+        delay=delay,
+        window_seconds=window_seconds,
+        checkpoint_dir=checkpoint_dir,
+        output_dir=output_dir,
+        join_type="leftOuter",
+        source_dir=zone,
+    )
 
 
 SESSION_OUT_SCHEMA = (
