@@ -200,6 +200,12 @@ EXTENDED = [
     "bpe_token_stats",
     "snapshot_diff_orders",
     "pagerank_centrality",
+    # round-8 late additions: lexical retrieval + fusion, the
+    # edit-distance verify metric, and the outer streaming join
+    "bm25_topk_documents",
+    "hybrid_rrf_topk",
+    "dedup_edit_distance",
+    "streaming_interval_join_outer",
 ]
 
 

@@ -140,6 +140,29 @@ def test_bm25_property_matches_reference(spark, corpus, k, cap):
     assert got == _ref_bm25(corpus, queries, k=k, max_df_ppm=cap)
 
 
+def test_bm25_bigint_and_decimal_paths_are_bit_equal(spark):
+    """The adaptive arithmetic width (collected corpus bounds → BIGINT
+    fast path vs DECIMAL(38,0) wide path) must be invisible in results:
+    both floor identical non-negative integers."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta{i % 4} gamma{i % 7} " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(i, t) for i in (0, 5) for t in (f"beta{i % 4}", "alpha")],
+        "query_id long, term string",
+    )
+
+    def run(width):
+        return sorted(
+            tuple(r) for r in rt.bm25_topk(
+                docs, queries=qdf, k=7, max_df_ppm=1_000_000, exact_width=width
+            ).collect()
+        )
+
+    assert run("bigint") == run("decimal") == run(None)
+
+
 # --- reciprocal-rank fusion ------------------------------------------------
 
 def _ref_rrf(lists, k=10, rrf_k=60):

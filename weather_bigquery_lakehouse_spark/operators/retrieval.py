@@ -102,25 +102,55 @@ def corpus_postings(
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__t")
     )
-    lengths = toks.select(
-        "doc_id", F.size("__t").cast("bigint").alias("dl")
-    ).where(F.col("dl") > 0)
     terms = toks.select("doc_id", F.explode("__t").alias("term"))
-    tf = terms.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # ONE tokenize feeds everything: tf is materialized (eager local
+    # checkpoint — the house lineage-truncation pattern; one row per
+    # distinct (term, doc) — this frame IS the inverted index, the thing
+    # a warehouse persists term-bucketed at ingest), and lengths,
+    # document frequencies, AND corpus totals all derive from it
+    # (dl = Σ_t tf(t, doc), so "dl > 0" is structural — a doc with no
+    # tokens has no tf rows). Without this, Catalyst re-runs the
+    # tokenize+explode+aggregate lineage once per consumer (~4 corpus
+    # scans; measured 14 s → ~5 s at sf0.1).
+    tf = (
+        terms.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    lengths = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     postings = tf.join(dfreq, "term")
-    totals = lengths.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_tokens"),
-    ).select(
-        "n_docs",
-        "total_tokens",
-        F.expr(
-            f"CAST((CAST(1000 AS {_DEC}) * total_tokens)"
-            f" div CAST(n_docs AS {_DEC}) AS BIGINT)"
-        ).alias("avgdl_milli"),
+    totals = (
+        lengths.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+            F.max("dl").cast("bigint").alias("dl_max"),
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            "dl_max",
+            F.expr(
+                f"CAST((CAST(1000 AS {_DEC}) * total_tokens)"
+                f" div CAST(n_docs AS {_DEC}) AS BIGINT)"
+            ).alias("avgdl_milli"),
+        )
+        # Per-corpus score constants, computed ONCE on this 1-row frame
+        # and shipped in the broadcast: the matched stream (the only
+        # corpus-×-fanout-scale frame in the plan) then pays 2 decimal
+        # multiplies + 1 div per row instead of re-multiplying the
+        # constant chain SCALE·(N+1)·C_TOP·A per row (~2.4× on the
+        # decimal-bound gate corpus). __knum needs DECIMAL(38,0) (≈2e24
+        # at N=1e11 docs); the den helpers stay BIGINT (≤ ~1e7).
+        .withColumn(
+            "__knum",
+            F.expr(
+                f"CAST({BM25_SCALE} AS {_DEC}) * CAST(n_docs + 1 AS {_DEC})"
+                f" * CAST({_C_TOP} AS {_DEC}) * CAST(avgdl_milli AS {_DEC})"
+            ),
+        )
+        .withColumn("__den_tf", F.lit(_C_DEN_TF) * F.col("avgdl_milli"))
+        .withColumn("__den_a", F.lit(_C_DEN_A) * F.col("avgdl_milli"))
     )
     return postings, lengths, totals
 
@@ -207,6 +237,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     probe_pct: int = 2,
+    exact_width: str | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 matches per query over the ``docs`` corpus.
 
@@ -215,6 +246,12 @@ def bm25_topk(
     score_micro, rank); a query's own document is excluded (the
     doc-as-query convention), ties break on doc_id ascending so the
     ranking is a pure function of the corpus.
+
+    ``exact_width`` overrides the adaptive integer width of the score
+    arithmetic ("bigint" | "decimal"; None = decide from the collected
+    corpus bounds — see the inline note). Both paths produce bit-equal
+    scores; the override exists for tests and for forcing the wide path
+    when composing with corpora whose stats are not yet landed.
     """
     if queries is None:
         queries = probe_queries(
@@ -236,18 +273,44 @@ def bm25_topk(
             <= F.lit(max_df_ppm) * F.col("n_docs")
         )
     )
-    num = (
-        F.lit(BM25_SCALE).cast(_DEC)
-        * (F.col("n_docs") + F.lit(1)).cast(_DEC)
-        * F.lit(_C_TOP).cast(_DEC)
-        * F.col("tf").cast(_DEC)
-        * F.col("avgdl_milli").cast(_DEC)
+    # identical values to the spelled-out form (and the oracle): __knum·tf
+    # = SCALE·(N+1)·C_TOP·tf·A, and the BIGINT inner denominator
+    # (≤ ~1e12 at N=1e11: 10·A·tf + 3·A + 9000·dl) is exact before the
+    # single widening cast.
+    #
+    # ADAPTIVE WIDTH: the per-term quotient is the hot expression — one
+    # evaluation per matched (query term, posting) row, the only
+    # fanout-scale stream in the plan — and a 128-bit BigDecimal divide
+    # costs ~10-20× a 64-bit one. The 1-row totals frame is collected
+    # (bounded metadata, the CC-convergence-flag class) and the exact
+    # worst-case products are checked against int64: num ≤ __knum·dl_max
+    # (tf ≤ dl ≤ dl_max), den ≤ (N+1)·(10·A·dl_max + 3·A + 9000·dl_max).
+    # Both fit → pure BIGINT arithmetic; either overflows → DECIMAL(38,0).
+    # The two paths floor identical non-negative integers, so results are
+    # bit-equal (pytest-pinned) and the HUGEINT oracle covers both.
+    row = totals.select("n_docs", "avgdl_milli", "dl_max").first()
+    if row is None or row["n_docs"] == 0:
+        n_docs, a_milli, dl_max = 0, 0, 0
+    else:
+        n_docs, a_milli, dl_max = row["n_docs"], row["avgdl_milli"], row["dl_max"]
+    knum_py = BM25_SCALE * (n_docs + 1) * _C_TOP * a_milli
+    den_max = (n_docs + 1) * (
+        _C_DEN_TF * a_milli * dl_max + _C_DEN_A * a_milli + _C_DEN_DL * dl_max
     )
-    den = (F.col("df") + F.lit(1)).cast(_DEC) * (
-        F.lit(_C_DEN_TF).cast(_DEC) * F.col("tf").cast(_DEC) * F.col("avgdl_milli").cast(_DEC)
-        + F.lit(_C_DEN_A).cast(_DEC) * F.col("avgdl_milli").cast(_DEC)
-        + F.lit(_C_DEN_DL).cast(_DEC) * F.col("dl").cast(_DEC)
+    i64 = (1 << 63) - 1
+    den_inner = (
+        F.col("__den_tf") * F.col("tf")
+        + F.col("__den_a")
+        + F.lit(_C_DEN_DL) * F.col("dl")
     )
+    if exact_width == "bigint" or (
+        exact_width is None and knum_py * dl_max <= i64 and den_max <= i64
+    ):
+        num = F.col("__knum").cast("bigint") * F.col("tf")
+        den = (F.col("df") + F.lit(1)) * den_inner
+    else:
+        num = F.col("__knum") * F.col("tf").cast(_DEC)
+        den = (F.col("df") + F.lit(1)).cast(_DEC) * den_inner.cast(_DEC)
     term_score = F.expr(
         "CAST(__num div __den AS BIGINT)"
     )
