@@ -206,6 +206,7 @@ EXTENDED = [
     "hybrid_rrf_topk",
     "dedup_edit_distance",
     "streaming_interval_join_outer",
+    "entity_resolution_customers",
 ]
 
 
