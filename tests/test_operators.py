@@ -120,6 +120,44 @@ def test_edit_distance_pairs_matches_python_reference(spark):
     assert got[(1, 2)][1] > 900_000 > got[(1, 3)][1]
 
 
+def test_edit_distance_property_matches_reference(spark):
+    """Randomized corpora (incl. empty and whitespace-only texts, which
+    exercise the maxlen=0 branch) against the pure-Python DP."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab c", min_size=0, max_size=12),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(texts):
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(a, b) for a in range(len(rows)) for b in range(a + 1, len(rows))],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["edit_distance"], r["sim_ppm"])
+            for r in dd.edit_distance_pairs(
+                docs, candidates=cand, min_sim_ppm=0
+            ).collect()
+        }
+        exp = {}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                lev = _py_lev(texts[a], texts[b])
+                m = max(len(texts[a]), len(texts[b]))
+                sim = 1_000_000 if m == 0 else ((m - lev) * 1_000_000) // m
+                exp[(a, b)] = (lev, sim)
+        assert got == exp
+
+    check()
+
+
 def test_edit_distance_threshold_and_length_prefilter_agree(spark):
     """The length-gap prefilter must be an exact superset of the final
     predicate: results with the prefilter (production path) equal a run

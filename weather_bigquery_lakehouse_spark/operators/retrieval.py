@@ -6,9 +6,13 @@ retrieval-based decontamination sweeps, RAG hybrid search, and "find the
 training docs that answer this eval question" audits — and at corpus
 scale it is a pure inverted-index computation:
 
-  one corpus scan      → postings (term, doc, tf) + doc lengths, both from
-                         the SAME tokenize (one aggregate each);
-  two 1-row aggregates → corpus size N and total token count (broadcast);
+  one corpus scan      → the tf frame (term, doc, tf) — the inverted
+                         index itself, checkpointed; doc lengths
+                         (dl = Σ tf), document frequencies, and corpus
+                         totals all DERIVE from it, so the text is
+                         tokenized exactly once;
+  one 1-row broadcast  → corpus size N, total tokens, avgdl, and the
+                         precomputed score constants;
   term-keyed equi-join → query terms × postings: work is Σ df(term) over
                          query terms, never |queries| × |corpus|;
   one combinable sum   → per-(query, doc) score from per-term partials;
@@ -94,10 +98,12 @@ def corpus_postings(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One tokenize → (postings, doc_lengths, totals).
 
-    postings:    (term, doc_id, tf, df) — term-keyed; df attached via a
-                 second aggregate on the same exploded stream.
-    doc_lengths: (doc_id, dl) — token count per doc.
-    totals:      1 row (n_docs, total_tokens, avgdl_milli) — broadcast.
+    postings:    (term, doc_id, tf, df) — term-keyed; df attached via an
+                 aggregate on the checkpointed tf frame.
+    doc_lengths: (doc_id, dl) — dl = Σ tf per doc, derived from tf.
+    totals:      1 row (n_docs, total_tokens, dl_max, avgdl_milli, plus
+                 the precomputed score constants __knum/__den_tf/__den_a)
+                 — broadcast.
     """
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__t")

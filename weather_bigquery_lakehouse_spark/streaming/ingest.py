@@ -576,7 +576,10 @@ def run_interval_join_outer_stream(
     delay_value, delay_unit = delay.split()
     if delay_unit not in ("day", "days"):
         raise ValueError(f"delay must be in days for the sentinel margin: {delay!r}")
-    margin_days = int(delay_value) + 2  # past every deadline, incl. window
+    # past every eviction deadline: delay + the join window (a purchase
+    # can be awaited up to window past its ts on the conservative side)
+    # + a whole-day slack
+    margin_days = int(delay_value) + window_seconds // 86_400 + 2
     zone = _outer_join_stream_dir(events_path, margin_days)
     return run_interval_join_stream(
         spark,
