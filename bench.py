@@ -207,6 +207,7 @@ EXTENDED = [
     "dedup_edit_distance",
     "streaming_interval_join_outer",
     "entity_resolution_customers",
+    "gap_fill_hourly_events",
 ]
 
 

@@ -1225,3 +1225,51 @@ def test_supplied_quantizer_frames_fail_loudly_when_incomplete(spark):
         sim.ivf_topk(emb, probes, centroids=empty_cent)
     with pytest.raises(ValueError, match="centroids frame is empty"):
         sim.ivfpq_topk(emb, probes, dim=64, centroids=empty_cent)
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Gap fill: per-entity grid spans its OWN [first, last] bucket,
+    empty buckets carry the last observed value (is_filled=1), and the
+    in-bucket winner is the exact (event time, id) latest."""
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    rows = [
+        # user 1: 10:00 bucket has TWO events (10:05 wins on time);
+        # 11:00 empty; 12:30 observed → grid 10:00..12:00
+        (1, 1, "2024-01-01 10:01:00", 10.0),
+        (2, 1, "2024-01-01 10:05:00", 20.0),
+        (3, 1, "2024-01-01 12:30:00", 30.0),
+        # user 2: single event → single-bucket grid, nothing filled
+        (4, 2, "2024-01-01 03:59:00", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], str(r["bucket_ts"])): (r["value"], r["is_filled"])
+        for r in tp.gap_fill_locf(ev).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (20.0, 0),   # in-bucket latest wins
+        (1, "2024-01-01 11:00:00"): (20.0, 1),   # carried
+        (1, "2024-01-01 12:00:00"): (30.0, 0),
+        (2, "2024-01-01 03:00:00"): (7.0, 0),
+    }
+
+
+def test_gap_fill_locf_tie_break_on_event_id(spark):
+    """Two events at the SAME timestamp in one bucket: the higher
+    event_id wins — deterministic under any partitioning."""
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    ev = spark.createDataFrame(
+        [
+            (1, 9, "2024-01-01 10:00:00", 1.0),
+            (2, 9, "2024-01-01 10:00:00", 2.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = tp.gap_fill_locf(ev.repartition(8)).collect()
+    b = tp.gap_fill_locf(ev.coalesce(1)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["value"] == 2.0 and a[0]["is_filled"] == 0

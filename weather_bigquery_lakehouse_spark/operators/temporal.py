@@ -92,6 +92,78 @@ def asof_join(
     )
 
 
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward — the
+    hypertable `time_bucket_gapfill` + `locf` shape (TimescaleDB /
+    continuous-aggregate practice): regularize each entity's irregular
+    event stream onto a fixed bucket grid, carrying the last observed
+    value across empty buckets.
+
+    Per entity: the grid spans its own [first, last] observed bucket
+    (entities do not inherit the corpus' global span — a user active for
+    one day yields 24 hourly rows, not the corpus' full range), built
+    with `sequence` + `explode`; observed buckets aggregate to the LAST
+    value in the bucket (max event time, event_id tie-break — exact, not
+    `last()`'s partition-order roulette); the fill is one
+    `last(ignorenulls)` window over (key, bucket).
+
+    Scale shape: ONE hash shuffle on the key does everything — the
+    per-entity bounds aggregate, the grid explode (rows ∝ its own span /
+    bucket), the bucket aggregate, and the ordered fill window all share
+    the (key)-partitioning; nothing global, no range-join explosion.
+    Output: (key, bucket_ts, value, is_filled) — `is_filled` marks
+    carried rows (the audit column every gap-fill consumer wants).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = F.lit(bucket_seconds).cast("bigint") * 1_000_000
+    base = df.select(
+        F.col(key_col),
+        (us - us % bucket_us).alias("__b"),
+        us.alias("__us"),
+        F.col(value_col).alias("__v"),
+        F.col("event_id").alias("__tie") if "event_id" in df.columns else F.lit(0).alias("__tie"),
+    )
+    # last value per observed bucket: exact tie-break on (event time, id)
+    w_in = Window.partitionBy(key_col, "__b").orderBy(
+        F.col("__us").desc(), F.col("__tie").desc()
+    )
+    observed = (
+        base.withColumn("__rn", F.row_number().over(w_in))
+        .where(F.col("__rn") == 1)
+        .select(key_col, "__b", F.col("__v").alias("__bucket_v"))
+    )
+    bounds = base.groupBy(key_col).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), bucket_us)
+        ).alias("__b"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, [key_col, "__b"], "left")
+        .withColumn("__filled", F.last("__bucket_v", ignorenulls=True).over(w_fill))
+        .select(
+            F.col(key_col),
+            F.timestamp_micros(F.col("__b")).cast("timestamp_ntz").alias("bucket_ts"),
+            F.col("__filled").alias(value_col),
+            F.col("__bucket_v").isNull().cast("int").alias("is_filled"),
+        )
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,
