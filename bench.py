@@ -208,6 +208,7 @@ EXTENDED = [
     "streaming_interval_join_outer",
     "entity_resolution_customers",
     "gap_fill_hourly_events",
+    "ohlc_hourly_events",
 ]
 
 

@@ -1273,3 +1273,44 @@ def test_gap_fill_locf_tie_break_on_event_id(spark):
     b = tp.gap_fill_locf(ev.coalesce(1)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0]["value"] == 2.0 and a[0]["is_filled"] == 0
+
+
+def test_ohlc_bars_semantics_and_tie_break(spark):
+    """OHLC per (key, bucket): open/close from the composite (time, id)
+    order — including SAME-timestamp ties at the bucket edges — and
+    identical results under any partitioning."""
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    rows = [
+        # bucket 10:00 for type 'a': open ties at 10:00 (ids 1,2 → id 1
+        # opens), close ties at 10:59 (ids 3,4 → id 4 closes)
+        (1, "a", "2024-01-01 10:00:00", 5.0),
+        (2, "a", "2024-01-01 10:00:00", 6.0),
+        (3, "a", "2024-01-01 10:59:00", 7.0),
+        (4, "a", "2024-01-01 10:59:00", 8.0),
+        (5, "a", "2024-01-01 10:30:00", 1.0),   # the low
+        # a second bucket and a second key
+        (6, "a", "2024-01-01 11:05:00", 9.0),
+        (7, "b", "2024-01-01 10:10:00", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["event_type"], str(r["bucket_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in tp.ohlc_bars(ev).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 10:00:00"): (5.0, 8.0, 1.0, 8.0, 5),
+        ("a", "2024-01-01 11:00:00"): (9.0, 9.0, 9.0, 9.0, 1),
+        ("b", "2024-01-01 10:00:00"): (2.0, 2.0, 2.0, 2.0, 1),
+    }
+    shuffled = {
+        (r["event_type"], str(r["bucket_ts"])): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in tp.ohlc_bars(ev.repartition(7)).collect()
+    }
+    assert shuffled == got

@@ -164,6 +164,66 @@ def gap_fill_locf(
     )
 
 
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-bucketed OHLC bars (open/high/low/close + volume) per key —
+    the candlestick rollup every metering/market/telemetry downsampler
+    runs. ONE map-side-combinable aggregate per (key, bucket): open and
+    close are `min_by`/`max_by` with a COMPOSITE (event time, id) order
+    key, so ties at the bucket edge resolve deterministically under any
+    partitioning (a bare `first()` would be partition-order roulette);
+    high/low/volume are plain min/max/count. No window, no self-join —
+    the entire operator is a single hash aggregate, so it scales exactly
+    like a groupBy count. Output: (key, bucket_ts, open, high, low,
+    close, volume).
+
+    The composite order key is the SCALAR ``us·2⁶³ + id`` in
+    DECIMAL(38,0) (≡ DuckDB HUGEINT — its ``arg_min`` takes only scalar
+    keys, so a struct key would not be oracle-portable): 2⁶³ exceeds any
+    non-negative BIGINT id, so the scalar orders exactly like the
+    (us, id) tuple, and the product tops out ~1.6e34 « 1e38."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = F.lit(bucket_seconds).cast("bigint") * 1_000_000
+    tie = (
+        F.col("event_id") if "event_id" in df.columns else F.monotonically_increasing_id()
+    )
+    ord_key = (
+        us.cast("decimal(38,0)")
+        * F.expr(f"CAST('{1 << 63}' AS DECIMAL(38,0))")  # 2^63 > any bigint id
+        + tie.cast("bigint").cast("decimal(38,0)")
+    )
+    base = df.select(
+        F.col(key_col),
+        (us - us % bucket_us).alias("__b"),
+        F.col(value_col).alias("__v"),
+        ord_key.alias("__ord"),
+    )
+    return (
+        base.groupBy(key_col, "__b")
+        .agg(
+            F.min_by("__v", "__ord").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__ord").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        .select(
+            key_col,
+            F.timestamp_micros(F.col("__b")).cast("timestamp_ntz").alias("bucket_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,
