@@ -209,6 +209,7 @@ EXTENDED = [
     "entity_resolution_customers",
     "gap_fill_hourly_events",
     "ohlc_hourly_events",
+    "incremental_rollup_orders",
 ]
 
 

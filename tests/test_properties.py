@@ -579,3 +579,43 @@ def test_pagerank_agrees_with_reference_on_arbitrary_graphs(spark, data):
     assert _run(spark, nodes, edges, n_iter=n_iter) == _ref_pagerank(
         nodes, edges, n_iter=n_iter
     )
+
+
+# --- incremental rollup state: merge ≡ recompute ---------------------------
+
+_rollup_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(-100_000, 100_000).map(lambda c: c / 100.0),  # exact 2dp
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_rollup_rows, st.integers(0, 24), st.integers(0, 24))
+def test_rollup_state_merge_equals_recompute(spark, rows, cut1, cut2):
+    """Any 3-way batching of the input merges to the SAME state (and the
+    same presentation rows) as a single recompute — the associativity
+    the incremental-refresh entry relies on. Decimal sums make this an
+    identity; float sums would make it merge-order-dependent."""
+    from weather_bigquery_lakehouse_spark.operators import incremental as inc
+
+    lo, hi = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+    parts = [rows[:lo], rows[lo:hi], rows[hi:]]
+    schema = "k string, v double"
+
+    def state_of(batch_rows):
+        df = spark.createDataFrame(batch_rows or [], schema)
+        return inc.rollup_state(df, ["k"], "v")
+
+    merged = state_of(parts[0])
+    for p in parts[1:]:
+        merged = inc.merge_rollup_state(merged, state_of(p), ["k"])
+    recomputed = state_of(rows)
+
+    def snap(state):
+        return sorted(tuple(r) for r in inc.rollup_present(state, ["k"]).collect())
+
+    assert snap(merged) == snap(recomputed)

@@ -53,6 +53,72 @@ def merge_upsert(
     return base.join(upd, keys, "left_anti").unionByName(updates)
 
 
+AGG_STATE_SUFFIXES = ("__cnt", "__sum", "__min", "__max")
+
+
+def rollup_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The MERGEABLE aggregate state of a rollup: per key group,
+    ``(__cnt, __sum, __min, __max)`` over ``value_col`` — the algebraic
+    decomposition behind every incremental materialized view / continuous
+    aggregate: count and sum add, min and max take extrema, and every
+    presentation measure (avg = sum/cnt included) derives from the state.
+    Sums are held EXACT as DECIMAL(38,2) (not IEEE double — a float sum
+    depends on merge order, so two different increment histories would
+    disagree with the recompute; decimal addition is associative, making
+    merge ≡ recompute an identity, not an approximation)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).cast("bigint").alias("__cnt"),
+        F.sum(v.cast("decimal(38,2)")).alias("__sum"),
+        F.min(v).alias("__min"),
+        F.max(v).alias("__max"),
+    )
+
+
+def merge_rollup_state(
+    stored: DataFrame,
+    increment_state: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge two rollup states key-wise WITHOUT touching base data — the
+    incremental-refresh step: the stored state absorbs an increment's
+    state via one unionByName + one map-side-combinable aggregate (cnt/
+    sum add, min/max take extrema). Associative and commutative, so any
+    increment batching converges to the recompute-from-scratch state
+    (pytest property). Cost ∝ |stored keys| + |increment keys|; the base
+    table is never rescanned."""
+    unioned = stored.unionByName(increment_state)
+    return unioned.groupBy(*keys).agg(
+        F.sum("__cnt").cast("bigint").alias("__cnt"),
+        F.sum("__sum").alias("__sum"),
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+    )
+
+
+def rollup_present(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Presentation view of a rollup state: n / total / min / max / avg,
+    doubles at the output boundary (the registry's exact-inside,
+    double-at-the-edge rule). avg derives from the exact state, so an
+    incrementally-maintained avg equals the recomputed one bit-for-bit."""
+    return state.select(
+        *keys,
+        F.col("__cnt").alias("n"),
+        F.col("__sum").cast("double").alias("total"),
+        F.col("__min").alias("min_value"),
+        F.col("__max").alias("max_value"),
+        # ONE IEEE division of the two exact state components — not a
+        # decimal division, whose result scale differs between engines
+        (F.col("__sum").cast("double") / F.col("__cnt").cast("double")).alias(
+            "avg_value"
+        ),
+    )
+
+
 def replace_groups(
     base: DataFrame,
     replacement: DataFrame,
