@@ -210,6 +210,7 @@ EXTENDED = [
     "gap_fill_hourly_events",
     "ohlc_hourly_events",
     "incremental_rollup_orders",
+    "priority_sample_documents",
 ]
 
 

@@ -987,3 +987,49 @@ def test_hll_registers_merge_across_shards(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_priority_sample_matches_reference_and_merges(spark):
+    """Priority sampling: exact-integer priorities against a pure-Python
+    reference, positive-weight filter, and the merge property that makes
+    the sample incrementally maintainable:
+    top-k(A ∪ B) == top-k(top-k(A) ∪ top-k(B))."""
+    import hashlib
+
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    rows = [(i, (i * 37) % 50 + (0 if i % 7 else -i)) for i in range(1, 40)]
+    # some weights are <= 0 → excluded; doc 0 absent by construction
+
+    def h60(i):
+        return int(hashlib.md5(f"psample|{i}".encode()).hexdigest()[:15], 16)
+
+    def ref_topk(pop, k):
+        scored = [
+            (i, w, (w * (1 << 60) * 1_000_000) // (h60(i) + 1))
+            for i, w in pop
+            if w is not None and w > 0
+        ]
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        return [(i, w, r + 1) for r, (i, w, _q) in enumerate(scored[:k])]
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sorted(
+        tuple(r)
+        for r in cu.priority_sample(df, "n_chars", k=10).collect()
+    )
+    assert got == sorted(ref_topk(rows, 10))
+    # partition independence
+    got2 = sorted(
+        tuple(r)
+        for r in cu.priority_sample(df.repartition(7), "n_chars", k=10).collect()
+    )
+    assert got2 == got
+    # merge property on the id sets (ranks recompute after the union)
+    a_rows, b_rows = rows[:20], rows[20:]
+    union_ids = {i for i, _w, _r in ref_topk(rows, 10)}
+    merged_candidates = ref_topk(a_rows, 10) + ref_topk(b_rows, 10)
+    merged_ids = {
+        i for i, _w, _r in ref_topk([(i, w) for i, w, _ in merged_candidates], 10)
+    }
+    assert merged_ids == union_ids

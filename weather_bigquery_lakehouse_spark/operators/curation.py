@@ -392,6 +392,77 @@ def sample_stratified(
     return df.where(bucket < keep_pct)
 
 
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "psample|",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: priority
+    sampling (Duffield, Lund & Thorup, JACM 2007) with content-addressed
+    randomness — the "sample documents ∝ weight" primitive (weight =
+    length, quality score, domain boost) that the uniform md5-bucket
+    samplers can't express.
+
+    Each row's priority is ``q = w / u`` with ``u`` uniform in (0, 1];
+    the top-k priorities are the sample. Here ``u = (h+1) / 2⁶⁰`` from
+    the repo-standard salted-md5 60-bit integer, and the priority is the
+    EXACT integer ``(w · 2⁶⁰ · 10⁶) div (h+1)`` held in DECIMAL(38,0)
+    (w ≤ 1e6-scale weights keep the product « 1e38; the 10⁶ scale makes
+    the floor quantization finer than any realistic weight resolution;
+    ties break on id). Like every sampling decision in the engine the
+    sample is a pure function of (corpus, salt) — identical across
+    engines, retries, and partition layouts, and a re-run after adding
+    rows keeps every surviving row's priority unchanged (the property
+    that makes priority samples INCREMENTALLY maintainable: merge = take
+    the top-k of the union of two samples' candidates).
+
+    Physically: one projection computes the priority, and the global
+    top-k compiles to TakeOrderedAndProject — per-partition heaps of k
+    rows, no global sort, no shuffle of the corpus. Output: (id_col,
+    weight, rank); non-positive / NULL weights are excluded (a weight of
+    0 must never be sampled, and priority sampling is defined for w > 0).
+    """
+    w = F.col(weight_col).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    base = (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .select(F.col(id_col), w.alias("weight"), h.alias("__h"))
+        .withColumn(
+            "__q",
+            F.expr(
+                f"CAST(weight AS DECIMAL(38,0)) * CAST({1 << 60} AS DECIMAL(38,0))"
+                f" * CAST(1000000 AS DECIMAL(38,0)) div CAST(__h + 1 AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    topk = base.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k)
+    t = topk.select(F.col(id_col).alias("__id"), "weight", "__q")
+    # rank = 1 + #rows ordered strictly before — the triangular broadcast
+    # rank over the k-row sample (the skew_key_report pattern: a global
+    # row_number window would log the no-partition WindowExec warning the
+    # engine keeps out of every run's stderr). ids are unique, so the
+    # rank is total and gap-free.
+    return (
+        t.alias("a")
+        .join(
+            F.broadcast(t.alias("b")),
+            (F.col("b.__q") > F.col("a.__q"))
+            | ((F.col("b.__q") == F.col("a.__q")) & (F.col("b.__id") < F.col("a.__id"))),
+            "left",
+        )
+        .groupBy(
+            F.col("a.__id").alias(id_col), F.col("a.weight").alias("weight")
+        )
+        .agg((F.count("b.__id") + F.lit(1)).cast("int").alias("rank"))
+    )
+
+
 #: Above this many labeled nodes the label frame stops being "tiny next to
 #: the corpus" and must not be broadcast (driver + every executor would
 #: hold a copy; a high-dup-rate 100 TB corpus can label billions of nodes).
