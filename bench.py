@@ -212,6 +212,7 @@ EXTENDED = [
     "incremental_rollup_orders",
     "priority_sample_documents",
     "graph_triangles_neardup",
+    "quality_expectations_orders",
 ]
 
 

@@ -279,3 +279,39 @@ def test_exact_group_quantiles_matches_reference_with_dominant_group(spark):
     # NULL group aggregates like any other; all-NULL group emits NULL row
     assert got[None] == tuple(ref([10.0, 20.0], p) for p in (0.25, 0.5, 0.95))
     assert got["allnull"] == (None, None, None)
+
+
+def test_expectation_report_counts_and_null_semantics(spark):
+    """Expectations: exact pass/fail accounting, NULL predicate results
+    count as failures, uniqueness flags duplicated keys, and a failing
+    rule sets passed=0 while pass_ppm stays exact."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.functions.profiling import (
+        expectation_report,
+    )
+
+    rows = [
+        (1, 10.0),
+        (2, -1.0),     # fails positive
+        (3, None),     # NULL predicate result → counts as FAIL
+        (1, 5.0),      # duplicate key
+    ]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["rule"]: (r["n_rows"], r["n_pass"], r["n_fail"], r["pass_ppm"], r["passed"])
+        for r in expectation_report(
+            df, [("positive(v)", F.col("v") > 0)], unique_cols=["k"]
+        ).collect()
+    }
+    assert got["positive(v)"] == (4, 2, 2, 500_000, 0)
+    assert got["unique(k)"] == (4, 3, 1, 750_000, 0)
+
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    ok = {
+        r["rule"]: r["passed"]
+        for r in expectation_report(
+            clean, [("positive(v)", F.col("v") > 0)], unique_cols=["k"]
+        ).collect()
+    }
+    assert ok == {"positive(v)": 1, "unique(k)": 1}

@@ -11,7 +11,7 @@ multi-distinct aggregate at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -244,4 +244,71 @@ def consistency_violations(df: DataFrame, name_col: str, id_col: str) -> DataFra
         df.groupBy(name_col)
         .agg(F.countDistinct(id_col).alias("unique_ids"))
         .where(F.col("unique_ids") != 1)
+    )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectations over ONE corpus scan — the
+    dbt-test / Great-Expectations contract surface, engine-side: each
+    rule is a named boolean Column evaluated per row, and the report is
+    one combinable aggregate emitting a row per rule with exact pass/
+    fail accounting. A NULL predicate result counts as a FAILURE (the
+    conservative read — an expectation that cannot be evaluated did not
+    pass; document per-rule null semantics in the predicate itself via
+    coalesce when nulls are acceptable).
+
+    ``unique_cols`` adds one uniqueness expectation per listed column —
+    the only expectation class that needs a shuffle (two counts over a
+    groupBy). Row-predicate rules cost a single map-side pass regardless
+    of rule count; at 100 TB this is the cheap always-on gate a zone
+    write runs before publishing.
+
+    Output per rule: (rule, n_rows, n_pass, n_fail, pass_ppm, passed) —
+    exact integers (ppm via BIGINT div), so the report hash-gates.
+    """
+    passes = [
+        F.sum(F.coalesce(pred.cast("int"), F.lit(0)).cast("bigint")).alias(f"__p{i}")
+        for i, (_name, pred) in enumerate(rules)
+    ]
+    agg = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"), *passes)
+    per_rule = [
+        agg.select(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__p{i}").alias("n_pass"),
+            (F.col("__n") - F.col(f"__p{i}")).alias("n_fail"),
+        )
+        for i, (name, _pred) in enumerate(rules)
+    ]
+    frames = per_rule
+    for col in unique_cols or []:
+        # distinct-vs-total: unique iff no key occurs twice; exact and
+        # combinable (count + countDistinct in one aggregate)
+        u = df.agg(
+            F.count(F.col(col)).cast("bigint").alias("n_rows"),
+            F.countDistinct(F.col(col)).cast("bigint").alias("n_pass"),
+        ).select(
+            F.lit(f"unique({col})").alias("rule"),
+            "n_rows",
+            "n_pass",
+            (F.col("n_rows") - F.col("n_pass")).alias("n_fail"),
+        )
+        frames.append(u)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_pass",
+        "n_fail",
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN CAST(1000000 AS BIGINT)"
+            " ELSE CAST(n_pass * CAST(1000000 AS BIGINT) div n_rows AS BIGINT) END"
+        ).alias("pass_ppm"),
+        (F.col("n_fail") == 0).cast("int").alias("passed"),
     )
