@@ -213,6 +213,7 @@ EXTENDED = [
     "priority_sample_documents",
     "graph_triangles_neardup",
     "quality_expectations_orders",
+    "multimodal_resize",
 ]
 
 

@@ -1314,3 +1314,28 @@ def test_ohlc_bars_semantics_and_tie_break(spark):
         for r in tp.ohlc_bars(ev.repartition(7)).collect()
     }
     assert shuffled == got
+
+
+def test_resize_media_plan_semantics(spark):
+    """Resize plan: aspect preserved in integer math, no-op below the
+    box, null dims propagate, and the mapInPandas stage keeps row count."""
+    import pandas as pd
+
+    rows = [
+        (1, 200, 100),   # downscale: longest 200 → 96: (96, 48)
+        (2, 50, 80),     # fits: unchanged, scale 1e6
+        (3, None, 100),  # null propagates
+        (4, 96, 96),     # exactly at the box: unchanged
+    ]
+    df = spark.createDataFrame(rows, "media_id long, width int, height int")
+    got = {
+        r["media_id"]: (
+            r["out_width"], r["out_height"], r["scale_ppm"], r["is_downscaled"]
+        )
+        for r in mm.resize_media(df, max_side=96).collect()
+    }
+    assert got[1] == (96, 48, 480_000, 1)
+    assert got[2] == (50, 80, 1_000_000, 0)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (96, 96, 1_000_000, 0)
+    assert len(got) == 4

@@ -129,6 +129,80 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return with_checksum.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale_ppm", T.LongType()),
+        T.StructField("is_downscaled", T.IntegerType()),
+    ]
+)
+
+
+def resize_plan(width: int | None, height: int | None, max_side: int):
+    """Aspect-preserving fit-to-box in exact integer math: the target
+    dimensions every thumbnailing/resize stage computes before touching
+    pixels. Returns (out_w, out_h, scale_ppm, is_downscaled); dimensions
+    null-propagate. The PIXEL resample itself needs an image library —
+    stubbed like the codec (the Spark-side batch plumbing is the real
+    part); the dimension plan is the testable, oracle-portable half."""
+    if width is None or height is None:
+        return None, None, None, None
+    longest = max(width, height)
+    if longest <= max_side:
+        return width, height, 1_000_000, 0
+    return (
+        (width * max_side) // longest,
+        (height * max_side) // longest,
+        (max_side * 1_000_000) // longest,
+        1,
+    )
+
+
+def resize_media(df: DataFrame, max_side: int = 96) -> DataFrame:
+    """Arrow-batched resize stage over the decoded media frame (the third
+    stage of the quartet: decode → feature-extract → RESIZE →
+    frame-sample). Consumes (media_id, width, height), emits the exact
+    integer resize plan per row; `mapInPandas` keeps partitioning intact
+    and moves one Arrow batch at a time — the identical batch shape the
+    pixel-buffer version uses, so swapping the stub for a real resampler
+    changes only the kernel body."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
+        for pdf in batches:
+            plans = [
+                resize_plan(
+                    None if pd.isna(w) else int(w),
+                    None if pd.isna(h) else int(h),
+                    max_side,
+                )
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": pd.array([p[0] for p in plans], dtype="Int32"),
+                    "out_height": pd.array([p[1] for p in plans], dtype="Int32"),
+                    "scale_ppm": pd.array([p[2] for p in plans], dtype="Int64"),
+                    "is_downscaled": pd.array([p[3] for p in plans], dtype="Int32"),
+                }
+            )
+
+    return df.select("media_id", "width", "height").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling shape for video payloads: emits one row per sampled
     "frame" offset (deterministic stride over the payload — stands in for
