@@ -214,6 +214,7 @@ EXTENDED = [
     "graph_triangles_neardup",
     "quality_expectations_orders",
     "multimodal_resize",
+    "cohort_retention_events",
 ]
 
 

@@ -1339,3 +1339,38 @@ def test_resize_media_plan_semantics(spark):
     assert got[3] == (None, None, None, None)
     assert got[4] == (96, 96, 1_000_000, 0)
     assert len(got) == 4
+
+
+def test_cohort_retention_semantics(spark):
+    """Cohort matrix on a hand fixture: users cohorted by first-activity
+    week, retention counted per offset, ppm exact, multi-activity weeks
+    deduped per user."""
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    W = 7 * 86_400  # bucket seconds
+    def ts(week, d=0):
+        import datetime
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=week * W + d)
+
+    rows = [
+        # cohort week 100: users 1,2,3. u1 active w100,w101,w102; u2 w100,w102
+        # (twice in w102 — must dedupe); u3 only w100.
+        (1, ts(100)), (1, ts(101)), (1, ts(102)),
+        (2, ts(100)), (2, ts(102)), (2, ts(102, 60)),
+        (3, ts(100)),
+        # cohort week 101: user 4, active w101 only
+        (4, ts(101)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_bucket"], r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in tp.cohort_retention(ev).collect()
+    }
+    assert got == {
+        (100, 0): (3, 3, 1_000_000),
+        (100, 1): (1, 3, 333_333),
+        (100, 2): (2, 3, 666_666),
+        (101, 0): (1, 1, 1_000_000),
+    }

@@ -164,6 +164,62 @@ def gap_fill_locf(
     )
 
 
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: group
+    entities by their FIRST-ACTIVITY bucket (the cohort), then count how
+    many of each cohort are still active 0, 1, 2, … buckets later.
+    Buckets are epoch-aligned integer indices (``us div bucket``) so the
+    arithmetic is exact and engine-portable (calendar `date_trunc('week')`
+    start-of-week conventions differ between engines).
+
+    Shuffle shape: ONE aggregate keyed on the entity (first-activity
+    bucket), ONE key-keyed join of the event stream against that
+    per-entity frame (at scale both sides land bucketed by the entity
+    key), one distinct-count per (cohort, offset). Cohort sizes come
+    from the offset-0 row of the SAME aggregate — every entity is active
+    in its own first bucket by definition, so no second pass.
+
+    Output: (cohort_bucket, week_offset, n_active, cohort_size,
+    retention_ppm) — exact integers, retention in ppm of the cohort.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = bucket_seconds * 1_000_000
+    ev = df.select(F.col(key_col), us.alias("__us")).withColumn(
+        "__b", F.expr(f"CAST(__us div {bucket_us} AS BIGINT)")
+    )
+    first = ev.groupBy(key_col).agg(F.min("__b").alias("__cohort"))
+    active = (
+        ev.select(key_col, "__b")
+        .distinct()
+        .join(first, key_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__cohort")).alias("week_offset"),
+        )
+        .agg(F.countDistinct(key_col).cast("bigint").alias("n_active"))
+    )
+    sizes = active.where(F.col("week_offset") == 0).select(
+        F.col("cohort_bucket"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        active.join(sizes, "cohort_bucket")
+        .select(
+            "cohort_bucket",
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.expr(
+                "CAST(n_active * CAST(1000000 AS BIGINT) div cohort_size AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
 def ohlc_bars(
     df: DataFrame,
     key_col: str = "event_type",
