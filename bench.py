@@ -215,6 +215,7 @@ EXTENDED = [
     "quality_expectations_orders",
     "multimodal_resize",
     "cohort_retention_events",
+    "funnel_conversion_events",
 ]
 
 

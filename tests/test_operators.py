@@ -1374,3 +1374,37 @@ def test_cohort_retention_semantics(spark):
         (100, 2): (2, 3, 666_666),
         (101, 0): (1, 1, 1_000_000),
     }
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Funnel: step-i requires an event strictly AFTER the entity's
+    step-(i-1) time; out-of-order completions don't count; earliest
+    completion dominates; ppm exact."""
+    import datetime
+
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 12, m)
+
+    rows = [
+        # u1 completes in order: view@0, click@5, purchase@10
+        (1, "view", ts(0)), (1, "click", ts(5)), (1, "purchase", ts(10)),
+        # u2: click BEFORE view → drops at step 2
+        (2, "click", ts(0)), (2, "view", ts(5)),
+        # u3: view + click, no purchase → drops at step 3
+        (3, "view", ts(0)), (3, "click", ts(1)),
+        # u4: purchase SIMULTANEOUS with click → strict > drops it
+        (4, "view", ts(0)), (4, "click", ts(2)), (4, "purchase", ts(2)),
+        # u5: earliest view is AFTER its only click, but a LATER click
+        # follows → still converts step 2 via the later click
+        (5, "click", ts(0)), (5, "view", ts(1)), (5, "click", ts(3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["step"]: (r["n_entities"], r["conversion_ppm"], r["step_ppm"])
+        for r in tp.funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got["view"] == (5, 1_000_000, 1_000_000)       # u1..u5 all view
+    assert got["click"] == (4, 800_000, 800_000)          # u2 drops
+    assert got["purchase"] == (1, 200_000, 250_000)       # only u1

@@ -164,6 +164,75 @@ def gap_fill_locf(
     )
 
 
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many entities complete step 1, then
+    step 2 STRICTLY AFTER their step-1 time, and so on — the conversion
+    /drop-off readout sequential-pattern dashboards are built on. The
+    earliest-qualifying-time semantics are the standard ones: an entity's
+    step-i time is the MINIMUM event time of type ``steps[i]`` that is
+    strictly after its step-(i−1) time (earliest completion dominates —
+    if any ordering of the entity's events completes the funnel, the
+    earliest-times chain does).
+
+    Physically: one entity-keyed MIN aggregate for step 1, then per
+    additional step ONE entity-keyed join (events of that type against
+    the survivors' frame) + one MIN aggregate — k−1 joins for k steps,
+    all keyed on the entity (co-located when the zone lands bucketed by
+    it); the survivors' frame only ever shrinks. Times compare in exact
+    integer microseconds. Output, one row per step:
+    (step_idx, step, n_entities, conversion_ppm, step_ppm) — conversion
+    relative to step 1, step_ppm relative to the previous step.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(key_col), F.col(type_col).alias("__t"), us.alias("__us"))
+    cur = (
+        ev.where(F.col("__t") == steps[0])
+        .groupBy(key_col)
+        .agg(F.min("__us").alias("__at"))
+    )
+    counts = [cur.count()]
+    frames = [cur]
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col("__t") == step)
+            .join(cur.select(key_col, F.col("__at").alias("__prev")), key_col)
+            .where(F.col("__us") > F.col("__prev"))
+            .groupBy(key_col)
+            .agg(F.min("__us").alias("__at"))
+        )
+        # bounded metadata: one scalar per funnel step (steps are few)
+        cur = nxt.localCheckpoint(eager=True)
+        counts.append(cur.count())
+        frames.append(cur)
+    spark = df.sparkSession
+    base = counts[0]
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else n
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                (n * 1_000_000) // base if base else None,
+                (n * 1_000_000) // prev if prev else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_entities bigint, "
+        "conversion_ppm bigint, step_ppm bigint",
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     key_col: str = "user_id",
