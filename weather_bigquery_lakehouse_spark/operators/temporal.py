@@ -113,12 +113,15 @@ def gap_fill_locf(
     `last()`'s partition-order roulette); the fill is one
     `last(ignorenulls)` window over (key, bucket).
 
-    Scale shape: ONE hash shuffle on the key does everything — the
-    per-entity bounds aggregate, the grid explode (rows ∝ its own span /
-    bucket), the bucket aggregate, and the ordered fill window all share
-    the (key)-partitioning; nothing global, no range-join explosion.
-    Output: (key, bucket_ts, value, is_filled) — `is_filled` marks
-    carried rows (the audit column every gap-fill consumer wants).
+    Scale shape: every stage keys on the entity or (entity, bucket) —
+    the bounds aggregate and fill window on the key, the in-bucket
+    last-value pick (compiled to WindowGroupLimit — per-partition top-1,
+    no full sort) and the grid⋈observed join on (key, bucket). Four
+    narrow exchanges locally, all map-side-combinable or top-1-pruned;
+    nothing global, no broadcast of anything data-scale, no range-join
+    explosion, and grid rows ∝ each entity's own span. Output: (key,
+    bucket_ts, value, is_filled) — `is_filled` marks carried rows (the
+    audit column every gap-fill consumer wants).
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket_us = F.lit(bucket_seconds).cast("bigint") * 1_000_000
