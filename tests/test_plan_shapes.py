@@ -348,3 +348,36 @@ def test_corpus_datasheet_is_one_scan_one_tokenize(spark, sf_dir):
     plan = _plan(QUERIES["corpus_datasheet"].fn(spark, sf_dir), "simple")
     assert plan.count("FileScan") == 1
     assert plan.count("split(lower") == 1
+
+
+def test_priority_sample_is_takeordered_no_window(spark):
+    """The weighted sample's global top-k must compile to
+    TakeOrderedAndProject (per-partition k-row heaps) — a full sort or a
+    no-partition window here would serialize the corpus through one
+    task; the rank join is broadcast-triangular, so NO hash exchange and
+    NO window appear anywhere."""
+    from weather_bigquery_lakehouse_spark.operators import curation as cu
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(40)], "doc_id long, n_chars long"
+    )
+    plan = _plan(cu.priority_sample(docs, "n_chars", k=5), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_ohlc_bars_is_one_hash_aggregate(spark):
+    """OHLC must stay a single two-phase hash aggregate: one exchange,
+    no window, no join — the shape that scales like a groupBy count."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    ev = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00", 1.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(tp.ohlc_bars(ev), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
