@@ -381,3 +381,42 @@ def test_ohlc_bars_is_one_hash_aggregate(spark):
     plan = _plan(tp.ohlc_bars(ev), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_entity_resolution_scores_have_no_cartesian_and_broadcast_cap(spark):
+    """The blocking self-join must be an equi-join on the block key (no
+    cartesian anywhere), and the hot-block cap must ride a BROADCAST
+    anti-join — re-shuffling the corpus to apply the cap would double
+    the operator's dominant cost."""
+    from weather_bigquery_lakehouse_spark.operators import records as rc
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i % 3) for i in range(30)],
+        "rid long, name string, region long",
+    )
+    plan = _plan(
+        rc.record_match_scores(df, "rid", {"name": 1}, ["region"]), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    # the cap rides once per self-join side (Catalyst re-derives the
+    # capped base per reference — a tiny agg + broadcast, acceptable);
+    # what must NEVER appear is a shuffled anti-join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("LeftAnti") == 2
+    assert "SortMergeJoin" in plan  # the block-keyed self-join itself
+
+
+def test_merge_rollup_state_is_union_plus_aggregate_no_join(spark):
+    """Incremental-refresh cost model: merging two states must be a
+    unionByName + ONE hash aggregate — a key-keyed join here would pay
+    two shuffles and break the any-batching associativity story."""
+    from weather_bigquery_lakehouse_spark.operators import incremental as inc
+
+    a = spark.createDataFrame([("x", 1.0)], "k string, v double")
+    b = spark.createDataFrame([("x", 2.0)], "k string, v double")
+    merged = inc.merge_rollup_state(
+        inc.rollup_state(a, ["k"], "v"), inc.rollup_state(b, ["k"], "v"), ["k"]
+    )
+    plan = _plan(merged, "simple")
+    assert "Join" not in plan
+    assert "Union" in plan
