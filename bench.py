@@ -216,6 +216,7 @@ EXTENDED = [
     "multimodal_resize",
     "cohort_retention_events",
     "funnel_conversion_events",
+    "unpivot_ohlc_hourly",
 ]
 
 

@@ -420,3 +420,15 @@ def test_merge_rollup_state_is_union_plus_aggregate_no_join(spark):
     plan = _plan(merged, "simple")
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_unpivot_is_expand_no_shuffle_beyond_source(spark):
+    """The melt must compile to Expand (per-row fan-out in the same
+    stage) — pivot's inverse adds NO exchange of its own."""
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0)], "k long, a double, b double"
+    )
+    melted = df.unpivot(["k"], ["a", "b"], "metric", "value")
+    plan = _plan(melted, "simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
