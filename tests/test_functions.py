@@ -315,3 +315,20 @@ def test_expectation_report_counts_and_null_semantics(spark):
         ).collect()
     }
     assert ok == {"positive(v)": 1, "unique(k)": 1}
+
+    # an empty expectation set is a config bug, not a vacuous pass
+    import pytest
+
+    with pytest.raises(ValueError, match="empty expectation"):
+        expectation_report(clean, [])
+
+    # NULL keys count as uniqueness failures: 3 rows, distinct non-null
+    # keys = 1 → n_fail 2, even though no non-null key repeats
+    nullk = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (None, 3.0)], "k long, v double"
+    )
+    u = {
+        r["rule"]: (r["n_rows"], r["n_pass"], r["n_fail"], r["passed"])
+        for r in expectation_report(nullk, [], unique_cols=["k"]).collect()
+    }
+    assert u["unique(k)"] == (3, 1, 2, 0)

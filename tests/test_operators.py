@@ -1316,6 +1316,61 @@ def test_ohlc_bars_semantics_and_tie_break(spark):
     assert shuffled == got
 
 
+def test_ohlc_bars_requires_explicit_tie_break(spark):
+    """No tie-break column → raise, never silently fall back to a
+    partition-order-dependent id (the determinism contract)."""
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1.0)], "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="tie-break"):
+        tp.ohlc_bars(ev)
+    # an explicit column name satisfies the contract
+    ev2 = ev.withColumn("my_id", F.lit(7).cast("bigint"))
+    assert tp.ohlc_bars(ev2, id_col="my_id").count() == 1
+
+
+def test_temporal_negative_epoch_floor_buckets(spark):
+    """Pre-1970 timestamps bucket with FLOOR semantics (pmod), not
+    truncate-toward-zero: an event 1 µs before the epoch belongs to the
+    bucket STARTING one bucket-width earlier, in gap fill, OHLC, and
+    cohort retention alike."""
+    import datetime
+
+    from weather_bigquery_lakehouse_spark.operators import temporal as tp
+
+    before = datetime.datetime(1969, 12, 31, 23, 30)   # -1800 s
+    after = datetime.datetime(1970, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [(1, "a", before, 1.0), (2, "a", after, 2.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    bars = {
+        str(r["bucket_ts"]): r["volume"]
+        for r in tp.ohlc_bars(ev, bucket_seconds=3600).collect()
+    }
+    assert bars == {"1969-12-31 23:00:00": 1, "1970-01-01 00:00:00": 1}
+
+    filled = {
+        str(r["bucket_ts"]): r["is_filled"]
+        for r in tp.gap_fill_locf(
+            ev.withColumn("user_id", F.lit(9).cast("bigint")),
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert filled == {"1969-12-31 23:00:00": 0, "1970-01-01 00:00:00": 0}
+
+    cohort = {
+        (r["cohort_bucket"], r["week_offset"])
+        for r in tp.cohort_retention(
+            ev.withColumn("user_id", F.col("event_id")), bucket_seconds=3600
+        ).collect()
+    }
+    # floor: -1800 µs-bucket index is -1, not 0
+    assert cohort == {(-1, 0), (0, 0)}
+
+
 def test_resize_media_plan_semantics(spark):
     """Resize plan: aspect preserved in integer math, no-op below the
     box, null dims propagate, and the mapInPandas stage keeps row count."""

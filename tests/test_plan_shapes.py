@@ -432,3 +432,20 @@ def test_unpivot_is_expand_no_shuffle_beyond_source(spark):
     plan = _plan(melted, "simple")
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_plan_lint_bans_monotonically_increasing_id(spark):
+    """The r9 lint rule: a partition-order-dependent synthetic id in any
+    registry plan is a FAIL, same class as rand() — output must be a
+    pure function of the data."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_lint import FAIL_PATTERNS
+
+    from pyspark.sql import functions as F
+
+    bad = spark.range(3).withColumn("id2", F.monotonically_increasing_id())
+    plan = _plan(bad, "simple")
+    hits = [p for p in FAIL_PATTERNS if p in plan]
+    assert "monotonically_increasing_id" in hits

@@ -20,6 +20,10 @@ FAIL (exit 1):
   * ArrowEvalPython           — scalar pandas_udf (the package's one
                                 sanctioned Python surface is Arrow
                                 mapInPandas / applyInPandas*)
+  * monotonically_increasing_id — partition-order-dependent id anywhere
+                                in a registry plan (r9 rule: a silent
+                                tie-break/media-id fallback makes output
+                                a function of cluster layout, not data)
 
 INFO (reported, not failed — the reviewer judges the context):
   * BroadcastNestedLoopJoin   — legitimate ONLY when one side is a
@@ -49,6 +53,9 @@ FAIL_PATTERNS = {
     "randn(": "nondeterministic expression in plan",
     "BatchEvalPython": "row-at-a-time Python UDF",
     "ArrowEvalPython": "scalar pandas_udf (not a sanctioned surface)",
+    "monotonically_increasing_id": "partition-order-dependent id in plan "
+    "(house rule: explicit data-derived ids only — tie-breaks and media "
+    "ids must be pure functions of the data)",
 }
 INFO_PATTERNS = [
     "BroadcastNestedLoopJoin",

@@ -263,33 +263,45 @@ def expectation_report(
 
     ``unique_cols`` adds one uniqueness expectation per listed column —
     the only expectation class that needs a shuffle (two counts over a
-    groupBy). Row-predicate rules cost a single map-side pass regardless
-    of rule count; at 100 TB this is the cheap always-on gate a zone
-    write runs before publishing.
+    groupBy). Uniqueness counts against ALL rows: a NULL key is a
+    failure (n_pass = countDistinct over non-null keys, n_rows =
+    count(*)), so a mostly-NULL column cannot report passed=1 — the
+    same conservative read as NULL rule predicates. Row-predicate rules
+    cost a single map-side pass regardless of rule count; at 100 TB this
+    is the cheap always-on gate a zone write runs before publishing.
 
     Output per rule: (rule, n_rows, n_pass, n_fail, pass_ppm, passed) —
     exact integers (ppm via BIGINT div), so the report hash-gates.
+    Raises ``ValueError`` on an empty expectation set (no rules and no
+    unique_cols) — an empty gate that vacuously passes is a config bug.
     """
+    if not rules and not unique_cols:
+        raise ValueError(
+            "expectation_report needs at least one rule or unique_cols "
+            "entry — an empty expectation set would vacuously pass"
+        )
     passes = [
         F.sum(F.coalesce(pred.cast("int"), F.lit(0)).cast("bigint")).alias(f"__p{i}")
         for i, (_name, pred) in enumerate(rules)
     ]
-    agg = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"), *passes)
-    per_rule = [
-        agg.select(
-            F.lit(name).alias("rule"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__p{i}").alias("n_pass"),
-            (F.col("__n") - F.col(f"__p{i}")).alias("n_fail"),
-        )
-        for i, (name, _pred) in enumerate(rules)
-    ]
-    frames = per_rule
+    frames = []
+    if rules:
+        agg = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"), *passes)
+        frames = [
+            agg.select(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__p{i}").alias("n_pass"),
+                (F.col("__n") - F.col(f"__p{i}")).alias("n_fail"),
+            )
+            for i, (name, _pred) in enumerate(rules)
+        ]
     for col in unique_cols or []:
-        # distinct-vs-total: unique iff no key occurs twice; exact and
-        # combinable (count + countDistinct in one aggregate)
+        # distinct-vs-ALL-rows: unique iff every row carries its own
+        # non-null key — NULL keys count as failures (count(*) includes
+        # them, countDistinct does not); exact and combinable
         u = df.agg(
-            F.count(F.col(col)).cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct(F.col(col)).cast("bigint").alias("n_pass"),
         ).select(
             F.lit(f"unique({col})").alias("rule"),

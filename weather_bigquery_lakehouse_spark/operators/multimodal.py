@@ -57,12 +57,19 @@ def attach_media(
     df: DataFrame, payload_col: str, mime: str, id_col: str | None = None
 ) -> DataFrame:
     """Wrap an existing binary column into the engine's media layout
-    (payload + typed metadata struct). ``id_col`` keeps a caller-supplied
-    stable id; the fallback `monotonically_increasing_id` is partition-
-    dependent and therefore NOT reproducible across different layouts."""
-    media_id = (
-        F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()
-    )
+    (payload + typed metadata struct). ``id_col`` names the caller's
+    stable id and is REQUIRED (raises if omitted): the engine's contract
+    is output as a pure function of the data, and the tempting
+    `monotonically_increasing_id` fallback is partition-order-dependent
+    — the id would change under repartitioning (tools/plan_lint.py bans
+    it from registry plans for the same reason)."""
+    if not id_col:
+        raise ValueError(
+            "attach_media needs an explicit id_col naming a stable media "
+            "id — a partition-order-dependent synthetic id would not be "
+            "reproducible across layouts"
+        )
+    media_id = F.col(id_col).cast("long")
     return df.select(
         media_id.alias("media_id"),
         F.col(payload_col).alias("payload"),

@@ -125,9 +125,13 @@ def gap_fill_locf(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket_us = F.lit(bucket_seconds).cast("bigint") * 1_000_000
+    # pmod, not %: Spark % takes the dividend's sign, so negative-epoch
+    # (pre-1970) timestamps would land one bucket too high; pmod gives
+    # true floor-aligned time_bucket semantics (the range_join_count
+    # discipline), exact in 64-bit integers.
     base = df.select(
         F.col(key_col),
-        (us - us % bucket_us).alias("__b"),
+        (us - F.pmod(us, bucket_us)).alias("__b"),
         us.alias("__us"),
         F.col(value_col).alias("__v"),
         F.col("event_id").alias("__tie") if "event_id" in df.columns else F.lit(0).alias("__tie"),
@@ -245,9 +249,12 @@ def cohort_retention(
     """Cohort retention matrix — the product-analytics staple: group
     entities by their FIRST-ACTIVITY bucket (the cohort), then count how
     many of each cohort are still active 0, 1, 2, … buckets later.
-    Buckets are epoch-aligned integer indices (``us div bucket``) so the
-    arithmetic is exact and engine-portable (calendar `date_trunc('week')`
-    start-of-week conventions differ between engines).
+    Buckets are epoch-aligned integer indices — FLOOR division via the
+    pmod identity ``(us - pmod(us, bucket)) div bucket`` so the
+    arithmetic is exact and engine-portable for any timestamp, including
+    pre-1970 negative epochs where SQL ``div``'s truncate-toward-zero
+    disagrees with DuckDB ``//``'s floor (calendar `date_trunc('week')`
+    start-of-week conventions differ between engines too).
 
     Shuffle shape: ONE aggregate keyed on the entity (first-activity
     bucket), ONE key-keyed join of the event stream against that
@@ -262,7 +269,10 @@ def cohort_retention(
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket_us = bucket_seconds * 1_000_000
     ev = df.select(F.col(key_col), us.alias("__us")).withColumn(
-        "__b", F.expr(f"CAST(__us div {bucket_us} AS BIGINT)")
+        "__b",
+        F.expr(
+            f"CAST((__us - pmod(__us, {bucket_us})) div {bucket_us} AS BIGINT)"
+        ),
     )
     first = ev.groupBy(key_col).agg(F.min("__b").alias("__cohort"))
     active = (
@@ -298,6 +308,7 @@ def ohlc_bars(
     ts_col: str = "ts",
     value_col: str = "value",
     bucket_seconds: int = 3600,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Time-bucketed OHLC bars (open/high/low/close + volume) per key —
     the candlestick rollup every metering/market/telemetry downsampler
@@ -314,20 +325,30 @@ def ohlc_bars(
     DECIMAL(38,0) (≡ DuckDB HUGEINT — its ``arg_min`` takes only scalar
     keys, so a struct key would not be oracle-portable): 2⁶³ exceeds any
     non-negative BIGINT id, so the scalar orders exactly like the
-    (us, id) tuple, and the product tops out ~1.6e34 « 1e38."""
+    (us, id) tuple, and the product tops out ~1.6e34 « 1e38.
+
+    ``id_col`` is REQUIRED to exist in ``df`` (raises if absent): the
+    tie-break is the determinism contract — silently falling back to a
+    partition-order-dependent id would make the output a function of the
+    cluster layout instead of the data."""
+    if id_col not in df.columns:
+        raise ValueError(
+            f"ohlc_bars needs an explicit tie-break column; {id_col!r} is "
+            f"not in {df.columns} — pass id_col= naming a unique BIGINT "
+            "column (open/close ties at the bucket edge must resolve as a "
+            "pure function of the data, never of partition order)"
+        )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket_us = F.lit(bucket_seconds).cast("bigint") * 1_000_000
-    tie = (
-        F.col("event_id") if "event_id" in df.columns else F.monotonically_increasing_id()
-    )
     ord_key = (
         us.cast("decimal(38,0)")
         * F.expr(f"CAST('{1 << 63}' AS DECIMAL(38,0))")  # 2^63 > any bigint id
-        + tie.cast("bigint").cast("decimal(38,0)")
+        + F.col(id_col).cast("bigint").cast("decimal(38,0)")
     )
+    # pmod: floor-aligned buckets for negative epochs too (see gap_fill_locf)
     base = df.select(
         F.col(key_col),
-        (us - us % bucket_us).alias("__b"),
+        (us - F.pmod(us, bucket_us)).alias("__b"),
         F.col(value_col).alias("__v"),
         ord_key.alias("__ord"),
     )
