@@ -449,3 +449,48 @@ def test_plan_lint_bans_monotonically_increasing_id(spark):
     plan = _plan(bad, "simple")
     hits = [p for p in FAIL_PATTERNS if p in plan]
     assert "monotonically_increasing_id" in hits
+
+
+def test_incremental_lsh_persisted_base_never_reshingled(spark, sf_dir, tmp_path):
+    """The warehouse contract of the dedup_incremental_lsh driver row:
+    with base_signatures= passed (the entry lands + reads the parquet),
+    the signature frame feeding the banded join must read base h{i}
+    columns OFF THE PERSISTED SCAN and shingle ONLY increment rows —
+    exactly one Generate/explode in the plan, sitting under the increment
+    filter, plus a parquet scan of the signature table. This is the frame
+    incremental_lsh_pairs checkpoints, i.e. the plan the driver row runs."""
+    from pyspark.sql import functions as F
+
+    from weather_bigquery_lakehouse_spark.operators.curation import md5_bucket
+    from weather_bigquery_lakehouse_spark.operators.dedup import (
+        _assemble_incremental_signatures,
+        minhash_signatures,
+    )
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    is_new = md5_bucket("doc_id", salt="incr|") >= 80
+    sig_path = str(tmp_path / "base_minhash_signatures")
+    minhash_signatures(docs.where(~is_new)).write.parquet(sig_path)
+    base_sigs = spark.read.parquet(sig_path)
+
+    flags = docs.select(F.col("doc_id"), is_new.cast("int").alias("__new"))
+    sig, sh = _assemble_incremental_signatures(
+        docs, is_new, flags, "text", "doc_id", 16, 3, base_sigs
+    )
+    assert sh is None  # no corpus-wide shingle checkpoint exists at all
+    # formatted mode keeps full scan locations; simple truncates them
+    assert "base_minhash_signatures" in _plan(sig, "formatted"), (
+        "persisted scan missing"
+    )
+    plan = _plan(sig, "simple")
+    # ONE explode total: the increment's shingles; base contributes none
+    n_explode = sum(
+        1 for line in plan.splitlines() if "Generate explode" in line
+    )
+    assert n_explode == 1, plan
+    # and the one shingle source is increment-filtered (md5 bucket pred)
+    gen_idx = next(
+        i for i, l in enumerate(plan.splitlines()) if "Generate explode" in l
+    )
+    below = "\n".join(plan.splitlines()[gen_idx:])
+    assert "Filter" in below and "md5" in below, below

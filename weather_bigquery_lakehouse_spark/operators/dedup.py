@@ -395,6 +395,40 @@ def edit_distance_pairs(
     )
 
 
+def _assemble_incremental_signatures(
+    df: DataFrame,
+    new_pred: Column,
+    flags: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    k: int,
+    base_signatures: DataFrame | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The flagged signature frame feeding the banded join — extracted so
+    the plan contract is pin-able on exactly what ``incremental_lsh_pairs``
+    checkpoints: with ``base_signatures`` present, base h{i} columns come
+    straight off the persisted table's scan and ONLY increment rows are
+    shingled (one Generate/explode in the whole plan, under the increment
+    filter); without it, the corpus-wide shingle checkpoint is returned
+    for the verify stage to reuse."""
+    if base_signatures is None:
+        sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
+        return _signatures_from_shingles(sh, id_col, n_hashes).join(flags, id_col), sh
+    sig_cols = [id_col] + [f"h{i}" for i in range(n_hashes)]
+    # consumed exactly once (the signature aggregate) — no checkpoint
+    sh_new = _doc_shingles(df.where(new_pred), text_col, id_col, k)
+    sig = (
+        _signatures_from_shingles(sh_new, id_col, n_hashes)
+        .select(*sig_cols)
+        .withColumn("__new", F.lit(1))
+        .unionByName(
+            base_signatures.select(*sig_cols).withColumn("__new", F.lit(0))
+        )
+    )
+    return sig, None
+
+
 def incremental_lsh_pairs(
     df: DataFrame,
     new_pred: Column,
@@ -443,21 +477,9 @@ def incremental_lsh_pairs(
     flags = df.select(
         F.col(id_col), new_pred.cast("int").alias("__new")
     )
-    if base_signatures is None:
-        sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
-        sig = _signatures_from_shingles(sh, id_col, n_hashes).join(flags, id_col)
-    else:
-        sig_cols = [id_col] + [f"h{i}" for i in range(n_hashes)]
-        # consumed exactly once (the signature aggregate) — no checkpoint
-        sh_new = _doc_shingles(df.where(new_pred), text_col, id_col, k)
-        sig = (
-            _signatures_from_shingles(sh_new, id_col, n_hashes)
-            .select(*sig_cols)
-            .withColumn("__new", F.lit(1))
-            .unionByName(
-                base_signatures.select(*sig_cols).withColumn("__new", F.lit(0))
-            )
-        )
+    sig, sh = _assemble_incremental_signatures(
+        df, new_pred, flags, text_col, id_col, n_hashes, k, base_signatures
+    )
     cand = _candidate_pairs_from_sig(
         sig, id_col, n_hashes, band_rows, max_bucket_size, flag_col="__new"
     ).localCheckpoint(eager=True)

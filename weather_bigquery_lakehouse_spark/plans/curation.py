@@ -602,6 +602,7 @@ WHERE ssq / n - (sm / n) * (sm / n) > 0
     "per-event-type z-score outliers (|z| > 3): one map-side-combinable "
     "aggregate with exact decimal sum/sum-of-squares (order-independent), "
     "broadcast back — data-quality gate for incoming event streams",
+    retired=True,  # rotated OUT round 9 → bpe_merge_table (adjudicated ACCEPT in VERDICT r8 Next #1: the exact-integer moment machinery stays driver-checked via quality_ccnet_buckets' quantile core and profile_lineitem)
 )
 def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _views(spark, sf_dir, ["events"])["events"]
@@ -1046,6 +1047,7 @@ SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunked
     "swap as the streaming gold MERGE): one run over the full zone must "
     "equal batch-chunking the corpus — the oracle; cross-run re-land/"
     "shrink semantics are pytest-verified",
+    retired=True,  # rotated OUT round 9 → entity_resolution_customers (adjudicated ACCEPT in VERDICT r8 Next #1: the foreachBatch replace_groups shape stays driver-checked via streaming_gold_user_latest; live-index maintenance stays pytest + bench)
 )
 def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
