@@ -217,6 +217,8 @@ EXTENDED = [
     "cohort_retention_events",
     "funnel_conversion_events",
     "unpivot_ohlc_hourly",
+    # round-9: OPTIMIZE bin-packing plan (lakehouse-maintenance family)
+    "compaction_plan_documents",
 ]
 
 

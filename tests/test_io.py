@@ -960,3 +960,125 @@ def test_snapshot_diff_entry_is_idempotent_across_sweeps(spark, sf_dir):
     # a repeat sweep must reuse the committed versions, not mint new ones
     assert dict(_SNAP_DIFF_VERSIONS) == versions
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_compaction_bins_plan_semantics(spark):
+    """The OPTIMIZE planner on a hand fixture: compliant files keep with
+    NULL bin, under-sized files bin-pack per partition by running total
+    (bin = cum_before div target), and target < 2*min raises."""
+    import pytest
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import compaction_bins
+
+    rows = [
+        # partition p1: a.. ordered by path; sizes 300+300 cross target
+        # 800 at cum 600<800 so both bin 0; c (300) starts at 600 → bin 0;
+        # d starts at 900 → bin 1; big (1000) keeps
+        ("p1", "a", 300), ("p1", "b", 300), ("p1", "c", 300), ("p1", "d", 300),
+        ("p1", "big", 1000),
+        # partition p2: one small file alone → bin 0 (executor skips it)
+        ("p2", "x", 100),
+    ]
+    df = spark.createDataFrame(rows, "part string, path string, size_bytes long")
+    got = {
+        (r["part"], r["path"]): (r["action"], r["bin_id"])
+        for r in compaction_bins(
+            df, target_bytes=800, min_file_bytes=400, partition_cols=["part"]
+        ).collect()
+    }
+    assert got == {
+        ("p1", "a"): ("rewrite", 0),
+        ("p1", "b"): ("rewrite", 0),
+        ("p1", "c"): ("rewrite", 0),
+        ("p1", "d"): ("rewrite", 1),
+        ("p1", "big"): ("keep", None),
+        ("p2", "x"): ("rewrite", 0),
+    }
+    with pytest.raises(ValueError, match="2 \\* min_file_bytes"):
+        compaction_bins(df, target_bytes=500, min_file_bytes=400)
+
+
+def test_optimize_zone_rewrites_small_keeps_large_untouched_idempotent(
+    spark, tmp_path
+):
+    """The executor contract: under-sized files merge per plan bin,
+    compliant files carry over as HARDLINKS (same inode — zero data bytes
+    touched), row content is preserved exactly, and a second run is a
+    structural no-op."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import optimize_zone
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    # one big compliant file + 6 tiny ones, written as separate commits
+    spark.range(0, 5000).coalesce(1).write.mode("append").parquet(zone)
+    for i in range(6):
+        spark.range(10000 + i * 10, 10000 + i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(zone)
+    files = sorted(
+        f for f in os.listdir(zone) if f.endswith(".parquet")
+    )
+    sizes = {f: os.path.getsize(os.path.join(zone, f)) for f in files}
+    big = max(sizes, key=sizes.get)
+    big_inode = os.stat(os.path.join(zone, big)).st_ino
+    before_sum = spark.read.parquet(zone).groupBy().sum("id").first()[0]
+
+    m = optimize_zone(
+        spark, zone, target_file_bytes=2 * sizes[big], min_file_bytes=sizes[big]
+    )
+    assert m.files_before == 7
+    assert m.files_kept == 1 and m.files_rewritten == 6
+    assert m.bins >= 1 and m.files_after == m.files_kept + m.bins
+    assert m.bytes_rewritten == sum(v for k, v in sizes.items() if k != big)
+    # the compliant file was not rewritten: same name, same inode
+    assert os.stat(os.path.join(zone, big)).st_ino == big_inode
+    # data intact
+    after = spark.read.parquet(zone)
+    assert after.count() == 5060
+    assert after.groupBy().sum("id").first()[0] == before_sum
+
+    # second run: structural no-op (every bin output is compliant or a
+    # 1-file bin; nothing moves, inodes unchanged)
+    inodes = {
+        f: os.stat(os.path.join(zone, f)).st_ino
+        for f in os.listdir(zone)
+        if f.endswith(".parquet")
+    }
+    m2 = optimize_zone(
+        spark, zone, target_file_bytes=2 * sizes[big], min_file_bytes=sizes[big]
+    )
+    assert m2.files_rewritten == 0 and m2.bins == 0 and m2.bytes_rewritten == 0
+    assert m2.files_before == m2.files_after == m.files_after
+    got = {
+        f: os.stat(os.path.join(zone, f)).st_ino
+        for f in os.listdir(zone)
+        if f.endswith(".parquet")
+    }
+    assert got == inodes
+
+
+def test_optimize_zone_per_hive_partition(spark, tmp_path):
+    """Hive-partitioned zones optimize one partition dir at a time —
+    partition values live in directory names, and each partition's small
+    files merge only with their own."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import optimize_zone
+
+    zone = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(100)], "id int, d string"
+    )
+    # two writes per partition → 2 small files in each of d=d0, d=d1
+    for _ in range(2):
+        df.coalesce(1).write.mode("append").partitionBy("d").parquet(zone)
+    m = optimize_zone(spark, zone, target_file_bytes=1 << 30, min_file_bytes=1 << 29)
+    assert m.bins == 2 and m.files_rewritten == 4  # 2 per partition
+    out = spark.read.parquet(zone)
+    assert out.count() == 200
+    assert sorted(r["d"] for r in out.select("d").distinct().collect()) == [
+        "d0",
+        "d1",
+    ]
