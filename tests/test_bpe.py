@@ -176,3 +176,77 @@ def test_pair_counts_combine_map_side_no_window(spark):
         # the aggregate must have a partial (map-side) phase before its
         # exchange, so task output is bounded by per-task distinct keys
         assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_bpe_train_batched_equals_sequential_on_corpus(spark):
+    """The batched trainer's contract: bit-identical merges AND final
+    segmentation vs the sequential trainer, at several batch sizes —
+    including batch sizes larger than the safe prefix, where the guard
+    must shrink the batch rather than diverge."""
+    df = _docs(spark, _CORPUS)
+    seq_merges, seq_words = bpe.bpe_train(df, n_merges=6)
+    seq = {r["word"]: r["syms"] for r in seq_words.collect()}
+    for b in (1, 2, 4, 8):
+        merges, words = bpe.bpe_train_batched(df, n_merges=6, batch_size=b)
+        assert merges == seq_merges, f"batch_size={b}"
+        got = {r["word"]: r["syms"] for r in words.collect()}
+        assert got == seq, f"batch_size={b}"
+
+
+def test_bpe_batched_adversarial_chain_degrades_to_sequential(spark):
+    """A corpus where every top pair interacts with the next (shared
+    symbols, chained fusions): the guard must cut the batch to 1 and the
+    output must still equal sequential training."""
+    texts = ["aaaa aaaa aaaa aab aab ab ab ab"]
+    seq_merges, seq_words = bpe.bpe_train(_docs(spark, texts), n_merges=4)
+    merges, words = bpe.bpe_train_batched(
+        _docs(spark, texts), n_merges=4, batch_size=4
+    )
+    assert merges == seq_merges
+    assert {r["word"]: r["syms"] for r in words.collect()} == {
+        r["word"]: r["syms"] for r in seq_words.collect()
+    }
+
+
+def test_batch_merge_scan_equals_chained_single_scans(spark):
+    """One multi-rule scan over symbol-disjoint pairs ≡ composing the
+    single-pair scans (the claim batch application rests on)."""
+    pairs = [("a", "b"), ("c", "d")]
+    for word in ("abcd", "acbd", "ababcdcd", "x", "ab", "cdab", "dcba"):
+        df = spark.createDataFrame([(word,)], "w string")
+        one = df.select(
+            bpe.batch_merge_scan_expr(bpe.chars_expr(F.col("w")), pairs).alias("m")
+        ).first()["m"]
+        chained = list(word)
+        for p in pairs:
+            chained = _greedy_merge(chained, *p)
+        assert one == chained, word
+
+
+def test_select_batch_guards():
+    """Driver-side guard unit cases: prefix-stop on symbol overlap, on
+    dominance violation, and on the truncated-list floor."""
+    # disjoint + dominant: both accepted
+    assert bpe._select_batch(
+        [("a", "b", 10), ("c", "d", 9)], 8, truncated=False
+    ) == [("a", "b", 10), ("c", "d", 9)]
+    # symbol overlap stops the batch (never skips past)
+    assert bpe._select_batch(
+        [("a", "b", 10), ("b", "c", 9), ("x", "y", 8)], 8, truncated=False
+    ) == [("a", "b", 10)]
+    cands = [("a", "b", 10), ("b", "c", 9), ("x", "y", 9)]
+    # list order is (cnt desc, lhs, rhs): ("b","c") precedes ("x","y");
+    # it overlaps "b" → batch stops at 1
+    assert bpe._select_batch(cands, 8, truncated=False) == [("a", "b", 10)]
+    # dominance violation without overlap: interacting candidate count
+    # equals the new pair's count
+    cands = [("a", "b", 10), ("x", "y", 9), ("b", "c", 9)]
+    assert bpe._select_batch(cands, 8, truncated=False) == [("a", "b", 10)]
+    # truncated list: a pair at the floor is rejected
+    assert bpe._select_batch(
+        [("a", "b", 10), ("c", "d", 9)], 8, truncated=True
+    ) == [("a", "b", 10)]
+    # concat collision: ("ab", anything) must not enter a batch with (a, b)
+    assert bpe._select_batch(
+        [("a", "b", 10), ("ab", "c", 9)], 8, truncated=False
+    ) == [("a", "b", 10)]

@@ -619,3 +619,26 @@ def test_rollup_state_merge_equals_recompute(spark, rows, cut1, cut2):
         return sorted(tuple(r) for r in inc.rollup_present(state, ["k"]).collect())
 
     assert snap(merged) == snap(recomputed)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_bpe_docs, st.integers(0, 5), st.integers(1, 4))
+def test_bpe_batched_equals_sequential_on_arbitrary_corpora(
+    spark, texts, n_merges, batch_size
+):
+    """Batched top-B merge selection is BIT-IDENTICAL to sequential
+    training on arbitrary corpora at arbitrary batch sizes — the guard
+    may shrink a batch (prefix-stop) but never changes the result."""
+    from weather_bigquery_lakehouse_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq_merges, seq_words = bpe.bpe_train(df, n_merges=n_merges)
+    merges, words = bpe.bpe_train_batched(
+        df, n_merges=n_merges, batch_size=batch_size
+    )
+    assert merges == seq_merges
+    assert {r["word"]: r["syms"] for r in words.collect()} == {
+        r["word"]: r["syms"] for r in seq_words.collect()
+    }

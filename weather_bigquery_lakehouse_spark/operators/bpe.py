@@ -207,6 +207,156 @@ def bpe_train(
     return out
 
 
+def batch_merge_scan_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Greedy left-to-right merge of SEVERAL pairwise symbol-disjoint
+    pairs in ONE aggregate scan. Because no symbol appears in two pairs
+    (and no pair's symbol equals another pair's fused concat — the
+    :func:`_select_batch` guard), each position can match at most one
+    rule, so one pass applying all rules is exactly the composition of
+    the per-pair :func:`merge_scan_expr` scans in any order — while the
+    expression tree stays LINEAR in the batch size (one chained ``when``
+    per rule) instead of the 3^k blow-up of nesting k single-pair scans.
+    """
+    def step(acc, x):
+        out = F.struct(
+            F.concat(acc["out"], F.array(acc["p"])).alias("out"),
+            x.alias("p"),
+        )
+        for lhs, rhs in reversed(pairs):
+            out = F.when(
+                (acc["p"] == F.lit(lhs)) & (x == F.lit(rhs)),
+                F.struct(acc["out"].alias("out"), F.concat(acc["p"], x).alias("p")),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms)),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.element_at(syms, 1).alias("p"),
+        ),
+        step,
+        lambda acc: F.concat(acc["out"], F.array(acc["p"])),
+    )
+
+
+def _select_batch(
+    cands: list[tuple[str, str, int]],
+    max_batch: int,
+    truncated: bool,
+) -> list[tuple[str, str, int]]:
+    """Longest PREFIX of the (cnt DESC, lhs, rhs)-ordered candidate list
+    that is provably safe to merge in one batch, i.e. batched training is
+    bit-identical to running the sequential trainer merge-by-merge:
+
+    1. **Prefix, never skip**: the first pair that fails any guard ends
+       the batch — a skipped-but-unaffected pair would be the sequential
+       trainer's next argmax, so skipping past it would diverge.
+    2. **Symbol-disjoint**: no symbol of the new pair appears in any
+       accepted pair (fusing (a,b) cannot change the count of any pair
+       not containing a or b), and no symbol equals an accepted pair's
+       fused concat (a fused symbol must never re-match a batch rule).
+    3. **Strict dominance**: the new pair's count must be STRICTLY above
+       every non-accepted candidate that shares a symbol with an accepted
+       pair. Merging p_i only (a) decreases pairs interacting with p_i
+       and (b) creates pairs (x, lhs·rhs)/(lhs·rhs, y) whose counts are
+       bounded by the pre-merge counts of the interacting pairs (x,lhs)/
+       (rhs,y) — so nothing can rise to or above the new pair's count,
+       and strictness keeps the lexicographic tie-break out of play (a
+       created pair's name could sort below ours).
+       Interacting pairs OUTSIDE the candidate list have counts strictly
+       below the list's floor ≤ the new pair's count, unless the list was
+       ``truncated`` — then dominance over the floor itself is required.
+
+    Ties between non-interacting candidates are safe: counts of
+    untouched pairs are invariant, and list order IS the sequential
+    tie-break (cnt DESC, then lexicographic), so the prefix order equals
+    the sequential selection order.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    interact_bound = -1
+    floor = cands[-1][2] if cands else -1
+    for lhs, rhs, cnt in cands:
+        if len(accepted) >= max_batch:
+            break
+        if accepted:
+            if lhs in used or rhs in used or lhs in concats or rhs in concats:
+                break
+            if cnt <= interact_bound:
+                break
+            if truncated and cnt <= floor:
+                break
+        accepted.append((lhs, rhs, cnt))
+        used.update((lhs, rhs))
+        concats.add(lhs + rhs)
+        for l2, r2, c2 in cands:
+            if (l2, r2) in {(a, b) for a, b, _ in accepted}:
+                continue
+            if l2 in (lhs, rhs) or r2 in (lhs, rhs):
+                interact_bound = max(interact_bound, c2)
+    return accepted
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    n_merges: int = 8,
+    batch_size: int = 8,
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """:func:`bpe_train` with top-B BATCHED merge selection — the lever
+    that makes a production-size vocabulary affordable: the sequential
+    trainer is correct but costs k driver-sequenced rounds for k merges
+    (SCALE.md documents the honest 32k-merge arithmetic), while this
+    variant accepts up to ``batch_size`` merges per round under the
+    :func:`_select_batch` guards and applies them in ONE scan
+    (:func:`batch_merge_scan_expr`) and ONE checkpoint — provably
+    bit-identical output (pytest + hypothesis pin ≡ :func:`bpe_train`),
+    ~B× fewer Spark jobs when the corpus' pair distribution cooperates
+    (a Zipf vocabulary mostly does; adversarial chains degrade gracefully
+    to batch = 1, never to a wrong merge table).
+
+    Per round: one pair-count aggregate + ONE TakeOrdered collect of
+    ``16·batch_size`` candidate rows (bounded driver metadata — the
+    guard needs every pair that could interact at or above the batch
+    floor; a truncated list just tightens the guard) + one merge scan +
+    checkpoint.
+    """
+    if n_merges < 0:
+        raise ValueError(f"need n_merges >= 0; got {n_merges}")
+    if batch_size < 1:
+        raise ValueError(f"need batch_size >= 1; got {batch_size}")
+    words = word_counts(df, text_col, max_word_len).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    cap = 16 * batch_size
+    while len(merges) < n_merges:
+        cands = [
+            (r["lhs"], r["rhs"], int(r["cnt"]))
+            for r in pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(cap)
+            .collect()
+        ]
+        if not cands:
+            break
+        batch = _select_batch(
+            cands,
+            min(batch_size, n_merges - len(merges)),
+            truncated=len(cands) == cap,
+        )
+        merges.extend(batch)
+        words = words.select(
+            "word",
+            "n",
+            batch_merge_scan_expr(
+                F.col("syms"), [(l, r) for l, r, _ in batch]
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
 _MERGE_SCHEMA = T.StructType(
     [
         T.StructField("merge_rank", T.IntegerType(), False),
