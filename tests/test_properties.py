@@ -642,3 +642,95 @@ def test_bpe_batched_equals_sequential_on_arbitrary_corpora(
     assert {r["word"]: r["syms"] for r in words.collect()} == {
         r["word"]: r["syms"] for r in seq_words.collect()
     }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p0", "p1"]),
+            st.integers(0, 999999),
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t,
+    ),
+    st.integers(1, 500),
+)
+def test_compaction_bins_invariants_on_arbitrary_inventories(
+    spark, inv, min_bytes
+):
+    """Planner invariants on arbitrary file inventories: the plan is a
+    partition of the input (every file exactly once), compliant files
+    keep with NULL bin, every non-final bin per partition totals more
+    than target - min (the idempotence lemma), bin ids are contiguous
+    from 0, and re-planning the post-merge inventory rewrites nothing
+    but (possibly) the final bins."""
+    from weather_bigquery_lakehouse_spark.io.maintenance import compaction_bins
+
+    target = 2 * min_bytes
+    rows = [
+        (p, f"f{i:06d}", size) for i, (p, size) in enumerate(inv)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "part string, path string, size_bytes long")
+    plan = compaction_bins(
+        df, target_bytes=target, min_file_bytes=min_bytes,
+        partition_cols=["part"],
+    ).collect()
+    assert sorted((r["part"], r["path"]) for r in plan) == sorted(
+        (p, f) for p, f, _ in rows
+    )
+    by_part: dict[str, dict[int, int]] = {}
+    for r in plan:
+        if r["action"] == "keep":
+            assert r["size_bytes"] >= min_bytes and r["bin_id"] is None
+        else:
+            assert r["size_bytes"] < min_bytes and r["bin_id"] is not None
+            by_part.setdefault(r["part"], {})
+            by_part[r["part"]][r["bin_id"]] = (
+                by_part[r["part"]].get(r["bin_id"], 0) + r["size_bytes"]
+            )
+    for part, bins in by_part.items():
+        ids = sorted(bins)
+        assert ids == list(range(len(ids))), (part, ids)
+        for b in ids[:-1]:  # every non-final bin clears the compliance bar
+            assert bins[b] > target - min_bytes >= min_bytes
+
+    # idempotence at the PLAN level: merge each >=2-file bin into one
+    # virtual file, re-plan — nothing may rewrite except 1-file bins
+    # (the executor skips those) and at most ONE undersized merged
+    # output per partition (the final bin)
+    merged_rows = [
+        (r["part"], r["path"], r["size_bytes"])
+        for r in plan
+        if r["action"] == "keep"
+    ]
+    from collections import Counter
+
+    bin_files = Counter()
+    for r in plan:
+        if r["action"] == "rewrite":
+            bin_files[(r["part"], r["bin_id"])] += 1
+    for r in plan:
+        if r["action"] == "rewrite" and bin_files[(r["part"], r["bin_id"])] == 1:
+            merged_rows.append((r["part"], r["path"], r["size_bytes"]))
+    for (part, b), n in bin_files.items():
+        if n >= 2:
+            total = by_part[part][b]
+            merged_rows.append((part, f"compact-{b:05d}", total))
+    df2 = spark.createDataFrame(
+        merged_rows, "part string, path string, size_bytes long"
+    )
+    plan2 = compaction_bins(
+        df2, target_bytes=target, min_file_bytes=min_bytes,
+        partition_cols=["part"],
+    ).collect()
+    rewrite_bins2 = Counter()
+    for r in plan2:
+        if r["action"] == "rewrite":
+            rewrite_bins2[(r["part"], r["bin_id"])] += 1
+    assert all(n == 1 for n in rewrite_bins2.values()), (
+        "second plan found a >=2-file bin — OPTIMIZE would not be idempotent"
+    )

@@ -482,7 +482,14 @@ def optimize_zone(
     nxt = path + ".next"
     os.makedirs(nxt)
     for f in kept + skipped:  # zero-copy carry-over: hardlink, same inode
-        os.link(f, os.path.join(nxt, os.path.basename(f)))
+        try:
+            os.link(f, os.path.join(nxt, os.path.basename(f)))
+        except OSError:
+            # filesystem without hardlinks (or cross-device .next): fall
+            # back to a byte copy — correctness identical, the zero-copy
+            # guarantee is a local-fs optimization (on an object store
+            # this whole carry-over is the table format's metadata commit)
+            shutil.copy2(f, os.path.join(nxt, os.path.basename(f)))
     bytes_rewritten = 0
     for b, fs in sorted(real_bins.items()):
         paths = [p for p, _ in fs]
