@@ -1082,3 +1082,29 @@ def test_optimize_zone_per_hive_partition(spark, tmp_path):
         "d0",
         "d1",
     ]
+
+
+def test_optimize_zone_recovers_torn_swap_before_listing(spark, tmp_path):
+    """A zone left mid-swap by a crashed OPTIMIZE must be restored before
+    planning — otherwise the torn state reads as an empty zone (0-file
+    no-op) or, worse, bins are planned over a partial listing."""
+    import os
+
+    from weather_bigquery_lakehouse_spark.io.maintenance import optimize_zone
+
+    zone = str(tmp_path / "zone")
+    # crash point: .next fully written, original dir already renamed away
+    spark.range(0, 1600).repartition(8).write.parquet(zone + ".next")
+    m = optimize_zone(spark, zone, target_file_bytes=1 << 30, min_file_bytes=1 << 29)
+    assert m.files_before == 8  # recovered snapshot, then optimized
+    assert m.bins == 1 and m.files_rewritten == 8
+    assert spark.read.parquet(zone).count() == 1600
+    assert not os.path.isdir(zone + ".next")
+
+    # crash point: .next partial (mid-rewrite) with the original intact —
+    # the stale .next must be discarded, never promoted
+    os.makedirs(zone + ".next")
+    m2 = optimize_zone(spark, zone, target_file_bytes=1 << 30, min_file_bytes=1)
+    assert not os.path.isdir(zone + ".next")
+    assert spark.read.parquet(zone).count() == 1600
+    assert m2.files_rewritten == 0  # everything compliant at min=1
