@@ -1463,3 +1463,80 @@ def test_funnel_steps_ordering_semantics(spark):
     assert got["view"] == (5, 1_000_000, 1_000_000)       # u1..u5 all view
     assert got["click"] == (4, 800_000, 800_000)          # u2 drops
     assert got["purchase"] == (1, 200_000, 250_000)       # only u1
+
+
+def test_parse_image_header_real_formats():
+    """REAL header-level dimension decode — handcrafted minimal byte
+    fixtures straight from the public format specs, no codec library."""
+    import struct
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    )
+    assert parse_image_header(bmp) == ("bmp", 800, 600)  # top-down abs()
+
+    ppm = b"P6\n# a comment\n1024 768\n255\n" + b"\x00" * 9
+    assert parse_image_header(ppm) == ("ppm", 1024, 768)
+
+    # JPEG: SOI, APP0 segment, DQT segment, then SOF0 with the dims
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+        + seg(0xDB, b"\x00" * 65)
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    )
+    assert parse_image_header(jpg) == ("jpeg", 640, 480)
+
+    # unrecognized bytes → None; fake=False decode raises for them
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"") is None
+    import pytest
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_image_stub,
+    )
+
+    assert decode_image_stub(png) == (640, 480)
+    with pytest.raises(NotImplementedError, match="header-level decode"):
+        decode_image_stub(b"not an image")
+
+
+def test_decode_media_real_headers_end_to_end(spark):
+    """The mapInPandas decode stage with fake=False over REAL container
+    bytes: dimensions come from the headers, NULL payloads propagate."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 32, 16) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF87a" + struct.pack("<HH", 7, 9) + b"\x00\x00\x00"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    media = mm.attach_media(df, "payload", "image/png", id_col="doc_id")
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in mm.decode_media(media, fake=False).collect()
+    }
+    assert got == {1: (32, 16), 2: (7, 9), 3: (None, None)}
