@@ -1540,3 +1540,44 @@ def test_decode_media_real_headers_end_to_end(spark):
         for r in mm.decode_media(media, fake=False).collect()
     }
     assert got == {1: (32, 16), 2: (7, 9), 3: (None, None)}
+
+
+def test_resize_pixels_media_real_ppm_kernel(spark):
+    """The REAL pixel path end-to-end: a 4x2 P6 image with known pixels
+    resamples to the exact nearest-neighbor result via integer index
+    maps, the output payload re-decodes as valid P6, non-P6 payloads
+    quarantine to NULL, and already-fitting images pass through."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_ppm_pixels,
+        encode_ppm,
+    )
+
+    # 2 rows x 4 cols, each pixel (10*row, col, 0)
+    arr = np.array(
+        [[[0, 0, 0], [0, 1, 0], [0, 2, 0], [0, 3, 0]],
+         [[10, 0, 0], [10, 1, 0], [10, 2, 0], [10, 3, 0]]],
+        dtype=np.uint8,
+    )
+    ppm = encode_ppm(arr)
+    assert (decode_ppm_pixels(ppm) == arr).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image")), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resize_pixels_media(df, max_side=2).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["out_width"], r1["out_height"]) == (
+        4, 2, 2, 1
+    )
+    resized = decode_ppm_pixels(bytes(r1["out_payload"]))
+    # integer maps: rows (0*2)//1=0; cols (0*4)//2=0, (1*4)//2=2
+    assert (resized == arr[[0]][:, [0, 2]]).all()
+    assert out[2]["out_payload"] is None and out[2]["width"] is None
+    assert out[3]["out_payload"] is None
+
+    # fits-the-box passthrough: payload survives byte-identical pixels
+    small = {r["media_id"]: r for r in mm.resize_pixels_media(df, max_side=8).collect()}
+    assert (decode_ppm_pixels(bytes(small[1]["out_payload"])) == arr).all()
