@@ -1581,3 +1581,63 @@ def test_resize_pixels_media_real_ppm_kernel(spark):
     # fits-the-box passthrough: payload survives byte-identical pixels
     small = {r["media_id"]: r for r in mm.resize_pixels_media(df, max_side=8).collect()}
     assert (decode_ppm_pixels(bytes(small[1]["out_payload"])) == arr).all()
+
+
+def _wav_bytes(samples, rate=8000, bits=16, channels=1):
+    """Handcrafted RIFF/WAVE PCM bytes from a sample list — the public
+    container layout, no audio library."""
+    import struct
+
+    import numpy as np
+
+    if bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    else:
+        data = bytes((s // 256) + 128 for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_parse_audio_header_and_pcm_decode():
+    """REAL WAV metadata + sample decode from handcrafted bytes."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_wav_pcm,
+        parse_audio_header,
+    )
+
+    wav = _wav_bytes([0, 100, -100, 32767, -32768])
+    assert parse_audio_header(wav) == ("wav", 1, 8000, 16, 5)
+    pcm = decode_wav_pcm(wav)
+    assert pcm.shape == (5, 1)
+    assert list(pcm[:, 0]) == [0, 100, -100, 32767, -32768]
+    # non-PCM format code and non-audio bytes are rejected, not mis-read
+    assert parse_audio_header(b"RIFFxxxxWAVE") is None
+    assert parse_audio_header(b"not audio") is None
+    bad = bytearray(wav)
+    bad[20] = 3  # fmt code 3 = IEEE float, needs a decoder
+    assert parse_audio_header(bytes(bad)) is None
+
+
+def test_audio_features_media_windows(spark):
+    """The windowed feature stage: exact integer peak/sum_sq per window,
+    correct window fan-out, and non-WAV payloads quarantine to 0 rows."""
+    wav = _wav_bytes([3, -4, 0, 5])  # two windows of 2 at window_frames=2
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk")), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r["media_id"], r["window_idx"]): (r["n_frames"], r["peak"], r["sum_sq"])
+        for r in mm.audio_features_media(df, window_frames=2).collect()
+    }
+    assert rows == {
+        (1, 0): (2, 4, 25),   # 3² + (−4)² = 25, peak 4
+        (1, 1): (2, 5, 25),   # 0² + 5² = 25, peak 5
+    }
