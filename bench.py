@@ -219,6 +219,8 @@ EXTENDED = [
     "unpivot_ohlc_hourly",
     # round-9: OPTIMIZE bin-packing plan (lakehouse-maintenance family)
     "compaction_plan_documents",
+    # round-9: the WAV encode->decode->features binary round-trip
+    "audio_wav_features_events",
 ]
 
 

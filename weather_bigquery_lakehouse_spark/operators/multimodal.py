@@ -445,6 +445,53 @@ def decode_wav_pcm(payload: bytes):
     return None
 
 
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE bytes from an int sequence — the
+    re-decodable inverse of :func:`decode_wav_pcm` (the
+    :func:`encode_ppm` pattern for audio)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synth_wav_media(
+    df: DataFrame,
+    key_col: str = "media_id",
+    sample_col: str = "sample",
+    order_col: str = "idx",
+    rate: int = 8000,
+) -> DataFrame:
+    """One WAV payload per key from (key, order, sample) rows — the
+    grouped Arrow stage that turns tabular PCM samples into real RIFF
+    bytes (``applyInPandas``: each key's samples sort by ``order_col``
+    and pack via :func:`encode_wav`). Exists so the WAV
+    encode → :func:`decode_wav_pcm` → :func:`audio_features_media`
+    round-trip can be driven under the DuckDB hash gate with samples
+    derived deterministically from table data; per-key sample counts are
+    bounded by the caller (a group must fit one Arrow batch)."""
+
+    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf[key_col].iloc[0])],
+                "payload": [encode_wav(list(pdf[sample_col]), rate=rate)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+
+
 def audio_features_media(df: DataFrame, window_frames: int = 1024) -> DataFrame:
     """Windowed audio feature extraction with a REAL kernel for PCM WAV
     payloads: one row per (media, window) carrying exact-integer peak and
