@@ -1641,3 +1641,62 @@ def test_audio_features_media_windows(spark):
         (1, 0): (2, 4, 25),   # 3² + (−4)² = 25, peak 4
         (1, 1): (2, 5, 25),   # 0² + 5² = 25, peak 5
     }
+
+
+def test_parse_video_header_mp4_and_avi():
+    """REAL video metadata decode from handcrafted container bytes: MP4
+    mvhd v0 and v1 (incl. largesize boxes), AVI avih, and rejection of
+    malformed/unknown bytes."""
+    import struct
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        parse_video_header,
+    )
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    # mvhd v0: version/flags(4) creation(4) modification(4) timescale(4)
+    # duration(4) — timescale 1000, duration 2500 → 2500 ms
+    mvhd0 = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", 1000) + struct.pack(">I", 2500) + b"\x00" * 4,
+    )
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd0)
+    assert parse_video_header(mp4) == ("mp4", 2500, None, None, None)
+
+    # mvhd v1: u64 times, timescale 90000, duration 90000*3+45000 → 3500 ms
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">I", 90000) + struct.pack(">Q", 315000) + b"\x00" * 4,
+    )
+    mp4v1 = box(b"ftyp", b"isom") + box(b"moov", mvhd1)
+    assert parse_video_header(mp4v1) == ("mp4", 3500, None, None, None)
+
+    # largesize (size==1) ftyp box before moov must be stepped over
+    big_ftyp = (
+        struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 16 + 4) + b"isom"
+    )
+    assert parse_video_header(big_ftyp + box(b"moov", mvhd0))[1] == 2500
+
+    # AVI: RIFF/'AVI ' → LIST hdrl → avih (25 fps, 50 frames, 320x240)
+    avih = (
+        b"avih" + struct.pack("<I", 56)
+        + struct.pack("<IIIII", 40000, 0, 0, 0, 50)
+        + struct.pack("<III", 0, 0, 0)
+        + struct.pack("<II", 320, 240) + b"\x00" * 16
+    )
+    avi = b"RIFF" + struct.pack("<I", 4 + 12 + len(avih)) + b"AVI " \
+        + b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    assert parse_video_header(avi) == ("avi", 2000, 320, 240, 50)
+
+    # zero timescale, unknown bytes → rejected
+    bad = box(b"ftyp", b"isom") + box(
+        b"moov",
+        box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8 + b"\x00" * 4
+            + struct.pack(">I", 2500) + b"\x00" * 4),
+    )
+    assert parse_video_header(bad) is None
+    assert parse_video_header(b"not a video") is None

@@ -445,6 +445,86 @@ def decode_wav_pcm(payload: bytes):
     return None
 
 
+def parse_video_header(payload: bytes):
+    """REAL video metadata decode — the triad-completing twin of
+    :func:`parse_image_header` / :func:`parse_audio_header`, pure byte
+    arithmetic from the public container specs: returns ``(format,
+    duration_ms, width, height, n_frames)`` with ``None`` fields where
+    the container does not carry them, or ``None`` for unrecognized
+    bytes.
+
+    * MP4/ISO-BMFF — walk the top-level box list (u32 BE size + fourcc;
+      size 0 = to-EOF, size 1 = u64 largesize) to ``moov``, then its
+      children to ``mvhd``: version 0 carries timescale/duration as u32
+      at offsets 12/16 of the box payload, version 1 as u32/u64 at
+      20/24. duration_ms = duration · 1000 div timescale (exact floor).
+    * AVI — RIFF/'AVI ' with the ``avih`` main header: µs-per-frame,
+      total frames, width, height at payload offsets 0/16/32/36 (LE).
+      duration_ms = frames · µs_per_frame div 1000.
+    """
+    import struct
+
+    p = payload
+    # --- MP4 / ISO base media file format ---
+    if len(p) >= 8 and p[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide"):
+        def walk(lo: int, hi: int):
+            boxes = []
+            i = lo
+            while i + 8 <= hi:
+                (size,) = struct.unpack(">I", p[i : i + 4])
+                typ = p[i + 4 : i + 8]
+                body = i + 8
+                if size == 1:
+                    if i + 16 > hi:
+                        break
+                    (size,) = struct.unpack(">Q", p[i + 8 : i + 16])
+                    body = i + 16
+                elif size == 0:
+                    size = hi - i
+                if size < 8 or i + size > hi:
+                    break
+                boxes.append((typ, body, i + size))
+                i += size
+            return boxes
+        for typ, body, end in walk(0, len(p)):
+            if typ != b"moov":
+                continue
+            for t2, b2, e2 in walk(body, end):
+                if t2 != b"mvhd" or e2 - b2 < 20:
+                    continue
+                version = p[b2]
+                if version == 1:
+                    if e2 - b2 < 32:
+                        return None
+                    (timescale,) = struct.unpack(">I", p[b2 + 20 : b2 + 24])
+                    (duration,) = struct.unpack(">Q", p[b2 + 24 : b2 + 32])
+                else:
+                    (timescale,) = struct.unpack(">I", p[b2 + 12 : b2 + 16])
+                    (duration,) = struct.unpack(">I", p[b2 + 16 : b2 + 20])
+                if timescale == 0:
+                    return None
+                return ("mp4", duration * 1000 // timescale, None, None, None)
+        return None
+    # --- AVI (RIFF) ---
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        i = 12
+        while i + 8 <= len(p):
+            cid = p[i : i + 4]
+            (clen,) = struct.unpack("<I", p[i + 4 : i + 8])
+            if cid == b"LIST":
+                i += 12  # descend into the list (skip its type fourcc)
+                continue
+            if cid == b"avih" and i + 8 + 40 <= len(p):
+                us_per_frame, _, _, _, frames = struct.unpack(
+                    "<IIIII", p[i + 8 : i + 28]
+                )
+                w, h = struct.unpack("<II", p[i + 40 : i + 48])
+                return ("avi", frames * us_per_frame // 1000, w, h, frames)
+            i += 8 + clen + (clen & 1)
+        return None
+    return None
+
+
 def encode_wav(samples, rate: int = 8000) -> bytes:
     """Mono 16-bit PCM RIFF/WAVE bytes from an int sequence — the
     re-decodable inverse of :func:`decode_wav_pcm` (the
