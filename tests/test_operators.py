@@ -1700,3 +1700,47 @@ def test_parse_video_header_mp4_and_avi():
     )
     assert parse_video_header(bad) is None
     assert parse_video_header(b"not a video") is None
+
+
+def test_probe_media_sniffs_all_kinds(spark):
+    """Content sniffing dispatches the three real header decoders and
+    ignores the declared (untrusted) mime: a GIF labeled audio/wav still
+    probes as an image; unknown bytes quarantine, NULL propagates."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 11, 13) + b"\x00\x00\x00"
+    wav = _wav_bytes([1, 2, 3, 4])  # 4 frames @ 8000 Hz → 0 ms floor
+    mvhd = (
+        struct.pack(">I", 8 + 20) + b"mvhd"
+        + b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", 1000) + struct.pack(">I", 750)
+    )
+    mp4 = (
+        struct.pack(">I", 12) + b"ftyp" + b"isom"
+        + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(gif)),
+            (2, bytearray(wav)),
+            (3, bytearray(mp4)),
+            (4, bytearray(b"mystery bytes")),
+            (5, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    media = mm.attach_media(df, "payload", "audio/wav", id_col="doc_id")
+    got = {
+        r["media_id"]: (
+            r["kind"], r["format"], r["width"], r["height"],
+            r["duration_ms"], r["n_frames"],
+        )
+        for r in mm.probe_media(media).collect()
+    }
+    assert got == {
+        1: ("image", "gif", 11, 13, None, None),
+        2: ("audio", "wav", None, None, 0, 4),
+        3: ("video", "mp4", None, None, 750, None),
+        4: ("unknown", None, None, None, None, None),
+        5: ("unknown", None, None, None, None, None),
+    }

@@ -634,6 +634,74 @@ def audio_features_media(df: DataFrame, window_frames: int = 1024) -> DataFrame:
     )
 
 
+def probe_media(df: DataFrame) -> DataFrame:
+    """Content sniffing over unknown binary payloads — the first pass a
+    mixed-media corpus ingest runs: dispatch each payload across the
+    three REAL header decoders (:func:`parse_image_header`,
+    :func:`parse_audio_header`, :func:`parse_video_header`) and emit one
+    typed metadata row per media: (media_id, kind, format, width,
+    height, duration_ms, n_frames) with NULLs where the container does
+    not carry a field and kind='unknown' for unrecognized bytes (the
+    quarantine signal — never a stage kill). Pure byte arithmetic; the
+    declared mime in the media struct is untrusted input and is
+    deliberately ignored."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+
+    def _probe_one(payload):
+        if payload is None:
+            return ("unknown", None, None, None, None, None)
+        p = bytes(payload)
+        img = parse_image_header(p)
+        if img is not None:
+            fmt, w, h = img
+            return ("image", fmt, w, h, None, None)
+        aud = parse_audio_header(p)
+        if aud is not None:
+            fmt, _ch, rate, _bits, frames = aud
+            return ("audio", fmt, None, None, frames * 1000 // rate, frames)
+        vid = parse_video_header(p)
+        if vid is not None:
+            fmt, dur, w, h, frames = vid
+            return ("video", fmt, w, h, dur, frames)
+        return ("unknown", None, None, None, None, None)
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
+        for pdf in batches:
+            rows = [
+                (mid, *_probe_one(p))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "format",
+                    "width", "height", "duration_ms", "n_frames",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "duration_ms": "Int64", "n_frames": "Int64",
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_probe, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling shape for video payloads: emits one row per sampled
     "frame" offset (deterministic stride over the payload — stands in for
