@@ -221,6 +221,8 @@ EXTENDED = [
     "compaction_plan_documents",
     # round-9: the WAV encode->decode->features binary round-trip
     "audio_wav_features_events",
+    # round-9: the P6 pixel encode->decode->resample round-trip
+    "image_ppm_resize_events",
 ]
 
 

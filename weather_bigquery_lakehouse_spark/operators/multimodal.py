@@ -329,6 +329,108 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def synth_ppm_media(
+    df: DataFrame,
+    key_col: str = "media_id",
+    row_col: str = "r",
+    col_col: str = "c",
+    ch_col: str = "ch",
+    value_col: str = "v",
+) -> DataFrame:
+    """One P6 payload per key from dense (key, r, c, ch, value) pixel
+    rows — :func:`synth_wav_media`'s image twin: each key's rows sort by
+    (r, c, ch), reshape to ``(h, w, 3)`` (dims inferred as max index + 1;
+    the caller supplies a DENSE grid), and pack via :func:`encode_ppm`.
+    Exists so the P6 encode → decode → resample round-trip can be driven
+    under the DuckDB hash gate from declaratively generated pixels."""
+    import numpy as np
+
+    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([row_col, col_col, ch_col])
+        h = int(pdf[row_col].max()) + 1
+        w = int(pdf[col_col].max()) + 1
+        arr = (
+            pdf[value_col].to_numpy().astype(np.uint8).reshape(h, w, 3)
+        )
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf[key_col].iloc[0])],
+                "payload": [encode_ppm(arr)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+
+
+def ppm_pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
+    """The inverse of :func:`synth_ppm_media`: decode each P6 payload and
+    emit one (media_id, r, c, ch, v) row per sample — the row-multiplying
+    Arrow stage that brings pixels back into DataFrame land, so pixel
+    assertions/aggregations run as plain JVM-side SQL (and the oracle can
+    mirror them without ever seeing a byte). Undecodable payloads emit no
+    rows (quarantine)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("r", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("ch", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
+        for pdf in batches:
+            frames = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                arr = (
+                    decode_ppm_pixels(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if arr is None:
+                    continue
+                h, w, _ = arr.shape
+                import numpy as np
+
+                rr, cc, chh = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": media_id,
+                            "r": rr.ravel().astype("int32"),
+                            "c": cc.ravel().astype("int32"),
+                            "ch": chh.ravel().astype("int32"),
+                            "v": arr.ravel().astype("int32"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {"media_id": pd.array([], dtype="int64"),
+                     "r": pd.array([], dtype="int32"),
+                     "c": pd.array([], dtype="int32"),
+                     "ch": pd.array([], dtype="int32"),
+                     "v": pd.array([], dtype="int32")}
+                )
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        _rows, schema=out_schema
+    )
+
+
 def resize_pixels_media(df: DataFrame, max_side: int = 96) -> DataFrame:
     """The resize stage with a REAL pixel kernel for P6 payloads: per
     media row, decode raw RGB pixels (:func:`decode_ppm_pixels`), compute
