@@ -734,3 +734,75 @@ def test_compaction_bins_invariants_on_arbitrary_inventories(
     assert all(n == 1 for n in rewrite_bins2.values()), (
         "second plan found a >=2-file bin — OPTIMIZE would not be idempotent"
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_codec_roundtrips_arbitrary_images(w, h, channels, seed):
+    """encode_png ∘ decode_png_pixels is the identity on arbitrary 8-bit
+    truecolor images (RGB and RGBA, any small dimensions)."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)  # test-only; seed is hypothesis-drawn
+    arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    out = decode_png_pixels(encode_png(arr))
+    assert out is not None and out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_png_decoder_matches_reference_on_arbitrary_filtered_streams(data):
+    """decode_png_pixels agrees with the independent pure-Python spec
+    un-filter on arbitrary per-row filter choices and filtered bytes."""
+    import numpy as np
+
+    from tests.test_operators import _png_manual, _ref_unfilter
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    w = data.draw(st.integers(1, 6))
+    h = data.draw(st.integers(1, 6))
+    bpp = data.draw(st.sampled_from([3, 4]))
+    rows = [
+        (
+            data.draw(st.integers(0, 4)),
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * bpp, max_size=w * bpp
+                )
+            ),
+        )
+        for _ in range(h)
+    ]
+    got = decode_png_pixels(_png_manual(w, h, bpp, rows))
+    ref = np.array(_ref_unfilter(w, h, bpp, rows), dtype=np.uint8).reshape(
+        h, w, bpp
+    )
+    assert got is not None and (got == ref).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+def test_wav_codec_roundtrips_arbitrary_samples(samples):
+    """encode_wav ∘ decode_wav_pcm is the identity on arbitrary int16
+    sample sequences, and the parsed header frame count is exact."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav,
+        parse_audio_header,
+    )
+
+    wav = encode_wav(samples)
+    assert parse_audio_header(wav) == ("wav", 1, 8000, 16, len(samples))
+    pcm = decode_wav_pcm(wav)
+    assert pcm.shape == (len(samples), 1)
+    assert list(pcm[:, 0]) == samples
