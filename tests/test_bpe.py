@@ -250,3 +250,10 @@ def test_select_batch_guards():
     assert bpe._select_batch(
         [("a", "b", 10), ("ab", "c", 9)], 8, truncated=False
     ) == [("a", "b", 10)]
+    # REVERSE concat collision: after accepting ("abcd", "x"), a pair
+    # ("a", "bcd") whose FUSED OUTPUT equals the accepted pair's symbol
+    # must end the batch — in one batched scan [a,bcd,x] would cascade
+    # to 'abcdx' while the sequential trainer yields [abcd, x]
+    assert bpe._select_batch(
+        [("abcd", "x", 10), ("a", "bcd", 9)], 8, truncated=False
+    ) == [("abcd", "x", 10)]

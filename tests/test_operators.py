@@ -1505,6 +1505,20 @@ def test_parse_image_header_real_formats():
     )
     assert parse_image_header(jpg) == ("jpeg", 640, 480)
 
+    # 0xFF fill bytes are LEGAL padding before any marker (ITU T.81
+    # §B.1.1.2) — the walk must skip them, not parse a fill byte as a
+    # standalone marker followed by a bogus segment length
+    jpg_padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before APP0
+        + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+        + b"\xff"  # single fill byte before SOF0
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    )
+    assert parse_image_header(jpg_padded) == ("jpeg", 640, 480)
+    # trailing fill bytes with no marker: clean None, no crash
+    assert parse_image_header(b"\xff\xd8" + b"\xff" * 8) is None
+
     # unrecognized bytes → None; fake=False decode raises for them
     assert parse_image_header(b"plain text payload") is None
     assert parse_image_header(b"") is None

@@ -254,8 +254,10 @@ def _select_batch(
        trainer's next argmax, so skipping past it would diverge.
     2. **Symbol-disjoint**: no symbol of the new pair appears in any
        accepted pair (fusing (a,b) cannot change the count of any pair
-       not containing a or b), and no symbol equals an accepted pair's
-       fused concat (a fused symbol must never re-match a batch rule).
+       not containing a or b), no symbol equals an accepted pair's
+       fused concat, and the new pair's fused concat equals no accepted
+       pair's symbol (in BOTH directions, a fused symbol must never
+       re-match a batch rule within the same one-pass scan).
     3. **Strict dominance**: the new pair's count must be STRICTLY above
        every non-accepted candidate that shares a symbol with an accepted
        pair. Merging p_i only (a) decreases pairs interacting with p_i
@@ -283,6 +285,15 @@ def _select_batch(
             break
         if accepted:
             if lhs in used or rhs in used or lhs in concats or rhs in concats:
+                break
+            if lhs + rhs in used:
+                # The other direction of guard 2: if this pair's fused
+                # output EQUALS an accepted pair's symbol, the batched
+                # one-pass scan would let the accepted rule re-match the
+                # symbol we just created (e.g. accepted (abcd,x), then
+                # (a,bcd) fuses to 'abcd' which (abcd,x) consumes in the
+                # SAME pass), while the sequential trainer applies each
+                # rule exactly once — so the batch must end here.
                 break
             if cnt <= interact_bound:
                 break

@@ -127,6 +127,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         while i + 4 <= len(p):
             if p[i] != 0xFF:  # desynced — not a well-formed marker stream
                 return None
+            # Any number of 0xFF fill bytes may pad before a marker
+            # (ITU T.81 §B.1.1.2) — skip them so padding is not read as
+            # a standalone marker followed by a bogus segment length.
+            while i + 4 <= len(p) and p[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(p):
+                return None
             marker = p[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone markers carry no length
