@@ -311,6 +311,7 @@ FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) <> 1
     _SQL_CONSISTENCY,
     "A1: groupBy + countDistinct + ≠1 filter "
     "(reference bronze_to_silver.py:118-131)",
+    retired=True,  # rotated OUT round 10 → quality_expectations_orders (adjudicated ACCEPT in VERDICT r9 Next #1: the expectation engine strictly generalizes this uniqueness probe as one unique(col) rule; the countDistinct primitive stays driver-checked via profile_lineitem's distinct_* columns; flagged: per-key violation ROWS move to the strict local gate)
 )
 def consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _views(spark, sf_dir, ["orders"])["orders"]
