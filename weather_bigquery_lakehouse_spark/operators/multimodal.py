@@ -317,11 +317,55 @@ def decode_ppm_pixels(payload: bytes):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
-def encode_png(arr) -> bytes:
+def _filter_scanlines(arr, row_filters) -> bytes:
+    """Forward PNG scanline filtering (spec §9 — the encoder half of the
+    five filters :func:`decode_png_pixels` un-filters): per row, apply
+    ``row_filters[y % len(row_filters)]`` and prepend the filter byte.
+    Predictors read the ORIGINAL previous row, which (losslessly) equals
+    the decoder's reconstructed row — vectorized per row in numpy."""
+    import numpy as np
+
+    h, w, c = arr.shape
+    stride, bpp = w * c, c
+    px = arr.astype(np.int32).reshape(h, stride)
+    zeros = np.zeros(bpp, dtype=np.int32)
+    out = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = px[y]
+        f = int(row_filters[y % len(row_filters)])
+        left = np.concatenate([zeros, line[:-bpp]])
+        upleft = np.concatenate([zeros, prev[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = line - left
+        elif f == 2:  # Up
+            filt = line - prev
+        elif f == 3:  # Average
+            filt = line - (left + prev) // 2
+        elif f == 4:  # Paeth
+            pp = left + prev - upleft
+            pa, pb, pc = np.abs(pp - left), np.abs(pp - prev), np.abs(pp - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"PNG filter type must be 0-4; got {f}")
+        out.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = line
+    return b"".join(out)
+
+
+def encode_png(arr, row_filters=None) -> bytes:
     """REAL, standard-conformant PNG encode for 8-bit RGB/RGBA arrays —
     stdlib ``zlib`` only (DEFLATE + CRC32 are the whole codec): filter-0
-    scanlines, one IDAT, correct chunk CRCs. Any conformant reader
-    decodes it; :func:`decode_png_pixels` round-trips it bit-exactly."""
+    scanlines by default, one IDAT, correct chunk CRCs. Any conformant
+    reader decodes it; :func:`decode_png_pixels` round-trips it
+    bit-exactly. Pass ``row_filters`` (a cycled list of 0-4) to choose
+    per-row scanline filters — the lever that drives every un-filter
+    path of the decoder from a single encoded image."""
     import struct
     import zlib
 
@@ -334,7 +378,10 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    if row_filters is None:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    else:
+        raw = _filter_scanlines(arr, row_filters)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
@@ -492,13 +539,49 @@ def synth_ppm_media(
     )
 
 
-def ppm_pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
-    """The inverse of :func:`synth_ppm_media`: decode each P6 payload and
-    emit one (media_id, r, c, ch, v) row per sample — the row-multiplying
-    Arrow stage that brings pixels back into DataFrame land, so pixel
-    assertions/aggregations run as plain JVM-side SQL (and the oracle can
-    mirror them without ever seeing a byte). Undecodable payloads emit no
-    rows (quarantine)."""
+def synth_png_media(
+    df: DataFrame,
+    key_col: str = "media_id",
+    row_col: str = "r",
+    col_col: str = "c",
+    ch_col: str = "ch",
+    value_col: str = "v",
+    row_filters: list[int] | None = None,
+) -> DataFrame:
+    """:func:`synth_ppm_media`'s PNG twin: one REAL 8-bit truecolor PNG
+    payload per key from dense (key, r, c, ch, value) pixel rows, packed
+    via :func:`encode_png`. ``row_filters`` selects per-row scanline
+    filters (cycled), so a single synthesized image can exercise every
+    un-filter path of :func:`decode_png_pixels` — the lever the PNG
+    round-trip oracle entry uses to pin all five filters under the hash
+    gate."""
+    import numpy as np
+
+    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([row_col, col_col, ch_col])
+        h = int(pdf[row_col].max()) + 1
+        w = int(pdf[col_col].max()) + 1
+        arr = pdf[value_col].to_numpy().astype(np.uint8).reshape(h, w, 3)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf[key_col].iloc[0])],
+                "payload": [encode_png(arr, row_filters=row_filters)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+
+
+def pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
+    """The inverse of :func:`synth_ppm_media`/:func:`synth_png_media`:
+    decode each payload (format-dispatched via :func:`decode_pixels` —
+    P6 PPM or 8-bit truecolor PNG) and emit one (media_id, r, c, ch, v)
+    row per sample — the row-multiplying Arrow stage that brings pixels
+    back into DataFrame land, so pixel assertions/aggregations run as
+    plain JVM-side SQL (and the oracle can mirror them without ever
+    seeing a byte). Undecodable payloads emit no rows (quarantine)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -518,13 +601,12 @@ def ppm_pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFram
         for pdf in batches:
             frames = []
             for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
-                arr = (
-                    decode_ppm_pixels(bytes(payload))
-                    if payload is not None
-                    else None
+                decoded = (
+                    decode_pixels(bytes(payload)) if payload is not None else None
                 )
-                if arr is None:
+                if decoded is None:
                     continue
+                arr = decoded[0][:, :, :3]  # checksum over RGB planes
                 h, w, _ = arr.shape
                 import numpy as np
 
@@ -557,6 +639,10 @@ def ppm_pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFram
     return df.select("media_id", payload_col).mapInPandas(
         _rows, schema=out_schema
     )
+
+
+#: Back-compat name from when the stage decoded P6 only — same function.
+ppm_pixels_rows = pixels_rows
 
 
 def resize_pixels_media(df: DataFrame, max_side: int = 96) -> DataFrame:
