@@ -1716,6 +1716,72 @@ def test_parse_video_header_mp4_and_avi():
     assert parse_video_header(b"not a video") is None
 
 
+def test_encode_mp4_avi_roundtrip_all_parser_paths():
+    """encode_mp4 / encode_avi are the re-decodable inverses of
+    parse_video_header across all four of its dispatch paths — mvhd v0,
+    mvhd v1 (duration above 2^32, so a u32 misread fails), size-1 +
+    largesize moov, and the avih LIST walk."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        encode_avi,
+        encode_mp4,
+        parse_video_header,
+    )
+
+    assert parse_video_header(encode_mp4(90000, 123456)) == (
+        "mp4", 123456 * 1000 // 90000, None, None, None,
+    )
+    big = 2**40 + 7  # only representable in mvhd v1's u64 duration
+    assert parse_video_header(encode_mp4(1000, big, version=1)) == (
+        "mp4", big, None, None, None,
+    )
+    assert parse_video_header(
+        encode_mp4(48000, 96123, version=1, largesize=True)
+    ) == ("mp4", 96123 * 1000 // 48000, None, None, None)
+    assert parse_video_header(encode_avi(33366, 250, 1920, 1080)) == (
+        "avi", 250 * 33366 // 1000, 1920, 1080, 250,
+    )
+
+
+def test_synth_media_payloads_builds_every_variant(spark):
+    """One row per MEDIA_VARIANTS code through the mixed synth, probed
+    back: each payload is REAL enough for its parser, and the garbage
+    variant quarantines to kind='unknown'."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        probe_media,
+        synth_media_payloads,
+    )
+
+    rows = [
+        (0, 0, 400, 0, 0, 0),     # wav: 400 frames @8kHz
+        (1, 1, 5, 3, 0, 0),       # ppm 5x3
+        (2, 2, 4, 2, 0, 0),       # png 4x2
+        (3, 3, 90000, 45000, 0, 0),   # mp4 v0
+        (4, 4, 40000, 50, 320, 240),  # avi
+        (5, 5, 0, 0, 0, 0),       # garbage
+        (6, 6, 1000, 2**40, 0, 0),    # mp4 v1
+        (7, 7, 1000, 7000, 0, 0),     # mp4 v1 + largesize
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, variant int, p1 long, p2 long, p3 long, p4 long"
+    )
+    got = {
+        r["media_id"]: r
+        for r in probe_media(synth_media_payloads(df)).collect()
+    }
+    assert (got[0]["kind"], got[0]["format"], got[0]["n_frames"]) == (
+        "audio", "wav", 400,
+    )
+    assert (got[1]["kind"], got[1]["width"], got[1]["height"]) == ("image", 5, 3)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("png", 4, 2)
+    assert (got[3]["format"], got[3]["duration_ms"]) == ("mp4", 500)
+    assert (got[4]["format"], got[4]["duration_ms"], got[4]["n_frames"]) == (
+        "avi", 2000, 50,
+    )
+    assert got[5]["kind"] == "unknown"
+    assert got[6]["duration_ms"] == 2**40 * 1000 // 1000
+    assert got[7]["duration_ms"] == 7000
+
+
 def test_probe_media_sniffs_all_kinds(spark):
     """Content sniffing dispatches the three real header decoders and
     ignores the declared (untrusted) mime: a GIF labeled audio/wav still

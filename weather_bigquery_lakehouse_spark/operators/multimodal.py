@@ -842,6 +842,132 @@ def parse_video_header(payload: bytes):
     return None
 
 
+def encode_mp4(
+    timescale: int, duration: int, version: int = 0, largesize: bool = False
+) -> bytes:
+    """Minimal spec-shaped ISO-BMFF bytes carrying (timescale, duration)
+    in a full-size ``mvhd`` — the re-decodable inverse of
+    :func:`parse_video_header`'s MP4 walk (ISO/IEC 14496-12 §8.2.2):
+    ``ftyp`` + ``moov``/``mvhd`` with the requested mvhd version (0 =
+    u32 fields, 1 = u64 creation/modification/duration) and, with
+    ``largesize``, a size-1 + u64-largesize ``moov`` header — the three
+    box-walk paths the parser dispatches on."""
+    import struct
+
+    if version == 1:
+        body = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        body = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration)
+    body += struct.pack(">I", 0x00010000)  # rate 1.0
+    body += struct.pack(">H", 0x0100)  # volume 1.0
+    body += b"\x00" * 10  # reserved
+    body += struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )  # unity matrix
+    body += b"\x00" * 24  # pre_defined
+    body += struct.pack(">I", 2)  # next_track_ID
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    if largesize:
+        moov = (
+            struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+        )
+    else:
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    return ftyp + moov
+
+
+def encode_avi(us_per_frame: int, frames: int, width: int, height: int) -> bytes:
+    """Minimal spec-shaped RIFF/AVI bytes carrying the ``avih`` main
+    header — the re-decodable inverse of :func:`parse_video_header`'s
+    AVI walk: ``RIFF``/``AVI `` + ``LIST hdrl`` + a full 56-byte
+    ``avih`` (µs-per-frame, total frames, width, height at their spec
+    offsets 0/16/32/36)."""
+    import struct
+
+    avih = (
+        struct.pack("<IIIIIIII", us_per_frame, 0, 0, 0, frames, 0, 1, 0)
+        + struct.pack("<II", width, height)
+        + b"\x00" * 16
+    )
+    chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", 4 + len(chunk)) + b"hdrl" + chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+#: synth_media_payloads variant codes → container built per row.
+MEDIA_VARIANTS = {
+    0: "wav",
+    1: "ppm",
+    2: "png",
+    3: "mp4_v0",
+    4: "avi",
+    5: "garbage",
+    6: "mp4_v1",
+    7: "mp4_v1_largesize",
+}
+
+
+def synth_media_payloads(df: DataFrame) -> DataFrame:
+    """One REAL container payload per input row from declarative
+    parameters — the mixed-format synth behind the video-metadata and
+    probe-dispatch oracle entries: columns (media_id, variant, p1, p2,
+    p3, p4) map to an encoder per :data:`MEDIA_VARIANTS` (wav: p1 =
+    frame count at 8 kHz; ppm/png: p1×p2 zero pixels; mp4: p1 =
+    timescale, p2 = duration, mvhd version/largesize per variant; avi:
+    p1 = µs-per-frame, p2 = frames, p3×p4 dims; garbage: deliberately
+    unparseable bytes). Row-wise Arrow ``mapInPandas`` — payload sizes
+    are header-bounded (≤ a few KB), so batches stay flat."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _build(variant: int, p1: int, p2: int, p3: int, p4: int) -> bytes:
+        if variant == 0:
+            return encode_wav([0] * p1, rate=8000)
+        if variant in (1, 2):
+            arr = np.zeros((p2, p1, 3), dtype=np.uint8)
+            return encode_ppm(arr) if variant == 1 else encode_png(arr)
+        if variant == 3:
+            return encode_mp4(p1, p2, version=0)
+        if variant == 4:
+            return encode_avi(p1, p2, p3, p4)
+        if variant == 6:
+            return encode_mp4(p1, p2, version=1)
+        if variant == 7:
+            return encode_mp4(p1, p2, version=1, largesize=True)
+        return b"GARBAGE payload, parse me if you can"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _build(int(v), int(a), int(b), int(c), int(d))
+                        for v, a, b, c, d in zip(
+                            pdf["variant"], pdf["p1"], pdf["p2"],
+                            pdf["p3"], pdf["p4"],
+                        )
+                    ],
+                }
+            )
+
+    return df.select("media_id", "variant", "p1", "p2", "p3", "p4").mapInPandas(
+        _synth, schema=out_schema
+    )
+
+
 def encode_wav(samples, rate: int = 8000) -> bytes:
     """Mono 16-bit PCM RIFF/WAVE bytes from an int sequence — the
     re-decodable inverse of :func:`decode_wav_pcm` (the
