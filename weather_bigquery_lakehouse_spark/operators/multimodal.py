@@ -450,20 +450,32 @@ def decode_png_pixels(payload: bytes):
         elif f == 2:  # Up
             rec = (line + prev) % 256
         elif f == 3:  # Average: floor((left + up) / 2), left is RECON
+            # left-recon dependency runs along x only — loop per PIXEL,
+            # all bpp channels vectorized (the per-column formulation
+            # Sub admits; w iterations instead of w·bpp)
             rec = np.empty(stride, dtype=np.int32)
-            for j in range(stride):
-                left = rec[j - bpp] if j >= bpp else 0
-                rec[j] = (line[j] + (left + prev[j]) // 2) % 256
-        elif f == 4:  # Paeth
+            lm, pm, rm = (v.reshape(w, bpp) for v in (line, prev, rec))
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = (lm[x] + (left + pm[x]) // 2) % 256
+                rm[x] = left
+        elif f == 4:  # Paeth — same per-pixel loop, channel-vectorized
             rec = np.empty(stride, dtype=np.int32)
-            for j in range(stride):
-                a = rec[j - bpp] if j >= bpp else 0
-                b = prev[j]
-                c = prev[j - bpp] if j >= bpp else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[j] = (line[j] + pred) % 256
+            lm, pm, rm = (v.reshape(w, bpp) for v in (line, prev, rec))
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = pm[x]
+                pp = left + b - upleft
+                pa = np.abs(pp - left)
+                pb = np.abs(pp - b)
+                pc = np.abs(pp - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                )
+                left = (lm[x] + pred) % 256
+                rm[x] = left
+                upleft = b
         else:
             return None
         out[y] = rec
