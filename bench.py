@@ -223,6 +223,11 @@ EXTENDED = [
     "audio_wav_features_events",
     # round-9: the P6 pixel encode->decode->resample round-trip
     "image_ppm_resize_events",
+    # round-10: PNG all-five-filters round-trip, the four video-container
+    # parser paths, and the three-family probe dispatch
+    "image_png_resize_events",
+    "video_metadata_events",
+    "probe_media_events",
 ]
 
 
