@@ -806,3 +806,103 @@ def test_wav_codec_roundtrips_arbitrary_samples(samples):
     pcm = decode_wav_pcm(wav)
     assert pcm.shape == (len(samples), 1)
     assert list(pcm[:, 0]) == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 2**32 - 1),
+    st.integers(0, 2**40),
+    st.sampled_from([0, 1]),
+    st.booleans(),
+)
+def test_mp4_codec_roundtrips_arbitrary_params(timescale, duration, version, largesize):
+    """encode_mp4 ∘ parse_video_header recovers duration_ms exactly for
+    arbitrary (timescale, duration) across both mvhd versions and the
+    largesize moov header — v0 durations clamp to u32 range."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        encode_mp4,
+        parse_video_header,
+    )
+
+    if version == 0:
+        duration %= 2**32
+    got = parse_video_header(
+        encode_mp4(timescale, duration, version=version, largesize=largesize)
+    )
+    assert got == ("mp4", duration * 1000 // timescale, None, None, None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 2**32 - 1), st.integers(0, 2**20),
+    st.integers(0, 2**16), st.integers(0, 2**16),
+)
+def test_avi_codec_roundtrips_arbitrary_params(uspf, frames, w, h):
+    """encode_avi ∘ parse_video_header recovers every avih field."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        encode_avi,
+        parse_video_header,
+    )
+
+    got = parse_video_header(encode_avi(uspf, frames, w, h))
+    assert got == ("avi", frames * uspf // 1000, w, h, frames)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=256))
+def test_media_parsers_never_raise_on_arbitrary_bytes(payload):
+    """The quarantine contract for every pure-byte header parser: on
+    ARBITRARY bytes they return a parse or None — never raise (a worker
+    exception would kill the Arrow stage instead of quarantining the
+    row). Exercised with raw fuzz AND magic-prefixed fuzz so the walks
+    past the signature checks run too."""
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+        parse_video_header,
+    )
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_pixels,
+        decode_png_pixels,
+        decode_ppm_pixels,
+        decode_wav_pcm,
+    )
+
+    prefixes = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",  # JPEG SOI — drives the marker walk incl. fill bytes
+        b"P6 ",
+        b"RIFF\xff\xff\xff\xffWAVE",
+        b"RIFF\xff\xff\xff\xffAVI ",
+        b"\x00\x00\x00\x10ftypisom",
+    ]
+    decoders = (
+        parse_image_header, parse_audio_header, parse_video_header,
+        decode_pixels, decode_png_pixels, decode_ppm_pixels, decode_wav_pcm,
+    )
+    for pre in prefixes:
+        for fn in decoders:
+            fn(pre + payload)  # must not raise; result shape is fn's contract
+
+
+def test_png_short_ihdr_quarantines_not_raises():
+    """Regression: a chunk-valid PNG whose IHDR payload is shorter than
+    13 bytes must decode to None (quarantine), not raise struct.error
+    and kill the Arrow stage."""
+    import struct
+    import zlib
+
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    p = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"12345") + chunk(b"IEND", b"")
+    assert decode_png_pixels(p) is None

@@ -416,6 +416,8 @@ def decode_png_pixels(payload: bytes):
         if len(data) != clen:
             return None
         if typ == b"IHDR":
+            if len(data) < 13:  # malformed: quarantine, never raise
+                return None
             ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif typ == b"IDAT":
             idat += data
