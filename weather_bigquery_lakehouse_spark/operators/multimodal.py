@@ -138,8 +138,6 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2  # standalone markers carry no length
                 continue
-            if i + 4 > len(p):
-                return None
             (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
             if marker in sof:
                 if i + 9 > len(p):
@@ -518,6 +516,38 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def _synth_pixels_media(
+    df: DataFrame,
+    pack,
+    key_col: str,
+    row_col: str,
+    col_col: str,
+    ch_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared grouped-synth plumbing for the pixel packers: each key's
+    dense (r, c, ch, value) rows sort, reshape to ``(h, w, 3)`` (dims
+    inferred as max index + 1 — the caller supplies a DENSE grid), and
+    pack via the ``pack(array) -> bytes`` callback."""
+    import numpy as np
+
+    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([row_col, col_col, ch_col])
+        h = int(pdf[row_col].max()) + 1
+        w = int(pdf[col_col].max()) + 1
+        arr = pdf[value_col].to_numpy().astype(np.uint8).reshape(h, w, 3)
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf[key_col].iloc[0])],
+                "payload": [pack(arr)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+
+
 def synth_ppm_media(
     df: DataFrame,
     key_col: str = "media_id",
@@ -527,29 +557,12 @@ def synth_ppm_media(
     value_col: str = "v",
 ) -> DataFrame:
     """One P6 payload per key from dense (key, r, c, ch, value) pixel
-    rows — :func:`synth_wav_media`'s image twin: each key's rows sort by
-    (r, c, ch), reshape to ``(h, w, 3)`` (dims inferred as max index + 1;
-    the caller supplies a DENSE grid), and pack via :func:`encode_ppm`.
-    Exists so the P6 encode → decode → resample round-trip can be driven
-    under the DuckDB hash gate from declaratively generated pixels."""
-    import numpy as np
-
-    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([row_col, col_col, ch_col])
-        h = int(pdf[row_col].max()) + 1
-        w = int(pdf[col_col].max()) + 1
-        arr = (
-            pdf[value_col].to_numpy().astype(np.uint8).reshape(h, w, 3)
-        )
-        return pd.DataFrame(
-            {
-                "media_id": [int(pdf[key_col].iloc[0])],
-                "payload": [encode_ppm(arr)],
-            }
-        )
-
-    return df.groupBy(key_col).applyInPandas(
-        _synth, schema="media_id long, payload binary"
+    rows — :func:`synth_wav_media`'s image twin, packing via
+    :func:`encode_ppm`. Exists so the P6 encode → decode → resample
+    round-trip can be driven under the DuckDB hash gate from
+    declaratively generated pixels."""
+    return _synth_pixels_media(
+        df, encode_ppm, key_col, row_col, col_col, ch_col, value_col
     )
 
 
@@ -563,28 +576,19 @@ def synth_png_media(
     row_filters: list[int] | None = None,
 ) -> DataFrame:
     """:func:`synth_ppm_media`'s PNG twin: one REAL 8-bit truecolor PNG
-    payload per key from dense (key, r, c, ch, value) pixel rows, packed
-    via :func:`encode_png`. ``row_filters`` selects per-row scanline
-    filters (cycled), so a single synthesized image can exercise every
-    un-filter path of :func:`decode_png_pixels` — the lever the PNG
-    round-trip oracle entry uses to pin all five filters under the hash
-    gate."""
-    import numpy as np
-
-    def _synth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([row_col, col_col, ch_col])
-        h = int(pdf[row_col].max()) + 1
-        w = int(pdf[col_col].max()) + 1
-        arr = pdf[value_col].to_numpy().astype(np.uint8).reshape(h, w, 3)
-        return pd.DataFrame(
-            {
-                "media_id": [int(pdf[key_col].iloc[0])],
-                "payload": [encode_png(arr, row_filters=row_filters)],
-            }
-        )
-
-    return df.groupBy(key_col).applyInPandas(
-        _synth, schema="media_id long, payload binary"
+    payload per key, packed via :func:`encode_png`. ``row_filters``
+    selects per-row scanline filters (cycled), so a single synthesized
+    image can exercise every un-filter path of :func:`decode_png_pixels`
+    — the lever the PNG round-trip oracle entry uses to pin all five
+    filters under the hash gate."""
+    return _synth_pixels_media(
+        df,
+        lambda arr: encode_png(arr, row_filters=row_filters),
+        key_col,
+        row_col,
+        col_col,
+        ch_col,
+        value_col,
     )
 
 
