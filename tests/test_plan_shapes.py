@@ -494,3 +494,59 @@ def test_incremental_lsh_persisted_base_never_reshingled(spark, sf_dir, tmp_path
     )
     below = "\n".join(plan.splitlines()[gen_idx:])
     assert "Filter" in below and "md5" in below, below
+
+
+def test_expectation_report_rides_two_scans_total(spark, sf_dir):
+    """The r10 rotation put quality_expectations_orders in the driver
+    window; its contract is 'every row-predicate rule rides ONE
+    combinable corpus scan' + 'uniqueness adds the one shuffle it
+    genuinely needs'. That is exactly TWO FileScans total regardless of
+    rule count — the pre-fix shape planned one scan PER UNION BRANCH
+    (4 rules + uniqueness = 5 corpus scans, 4x read amplification at
+    100 TB)."""
+    plan = _plan(QUERIES["quality_expectations_orders"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 2, plan
+    # the rules scan is single-pass map-side combinable: its aggregate
+    # exchanges a SinglePartition 1-row frame, never the corpus
+    assert "Exchange SinglePartition" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # uniqueness only
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_no_join_between_retriever_lists(spark, sf_dir):
+    """RRF fusion must be a unionByName of the two bounded retriever
+    lists + ONE combinable (query, doc) sum — never a join between
+    retriever outputs (a join would re-shuffle both lists and break on
+    docs present in only one list); final top-k windows must push their
+    group limit map-side."""
+    plan = _plan(QUERIES["hybrid_rrf_topk"].fn(spark, sf_dir), "simple")
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2, "top-k not pushed map-side"
+
+
+def test_embedding_covariance_gram_kernel_bounded(spark, sf_dir):
+    """The covariance entry's only Python stage is the Arrow Gram
+    kernel, and nothing after the per-partition Gram is corpus-scale:
+    each task emits dim(dim+1)/2 rows, so every Exchange above the
+    MapInPandas moves dim^2-bounded frames. No sort-merge join (the
+    means attach via broadcast onto the dim^2-bounded result)."""
+    plan = _plan(QUERIES["embedding_covariance"].fn(spark, sf_dir), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_window_is_partition_keyed(spark, sf_dir):
+    """The bin-packing running total must be a PARTITION-KEYED window
+    (per source partition) — a global unpartitioned window would pull
+    the whole file inventory through one task at scale."""
+    plan = _plan(QUERIES["compaction_plan_documents"].fn(spark, sf_dir), "simple")
+    windows = [l for l in plan.splitlines() if "Window " in l or l.strip().startswith("Window")]
+    assert windows, plan
+    # every Window line carries a partition spec over the source key
+    for l in windows:
+        assert "source" in l, l
+    assert "CartesianProduct" not in plan

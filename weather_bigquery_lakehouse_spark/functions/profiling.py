@@ -284,32 +284,45 @@ def expectation_report(
         F.sum(F.coalesce(pred.cast("int"), F.lit(0)).cast("bigint")).alias(f"__p{i}")
         for i, (_name, pred) in enumerate(rules)
     ]
-    frames = []
-    if rules:
-        agg = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"), *passes)
-        frames = [
-            agg.select(
+
+    def _rows_from_agg(agg: DataFrame, names: list[str]) -> DataFrame:
+        # Explode the ONE-row aggregate into per-rule rows. Selecting the
+        # aggregate once per rule and unioning re-plans the source scan
+        # per Union branch (k rules = k corpus scans — 4x read
+        # amplification at 100 TB for a 4-rule set); exploding a 1-row
+        # array keeps every rule on the single scan the docstring
+        # promises.
+        structs = [
+            F.struct(
                 F.lit(name).alias("rule"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__p{i}").alias("n_pass"),
                 (F.col("__n") - F.col(f"__p{i}")).alias("n_fail"),
             )
-            for i, (name, _pred) in enumerate(rules)
+            for i, name in enumerate(names)
         ]
-    for col in unique_cols or []:
+        return agg.select(F.explode(F.array(*structs)).alias("e")).select("e.*")
+
+    frames = []
+    if rules:
+        agg = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"), *passes)
+        frames.append(_rows_from_agg(agg, [name for name, _pred in rules]))
+    if unique_cols:
         # distinct-vs-ALL-rows: unique iff every row carries its own
         # non-null key — NULL keys count as failures (count(*) includes
-        # them, countDistinct does not); exact and combinable
-        u = df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.countDistinct(F.col(col)).cast("bigint").alias("n_pass"),
-        ).select(
-            F.lit(f"unique({col})").alias("rule"),
-            "n_rows",
-            "n_pass",
-            (F.col("n_rows") - F.col("n_pass")).alias("n_fail"),
+        # them, countDistinct does not); exact and combinable. ALL
+        # uniqueness probes ride ONE aggregate (Spark plans multi-
+        # distinct via Expand — one parquet pass, not one scan per key).
+        u_agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            *[
+                F.countDistinct(F.col(col)).cast("bigint").alias(f"__p{i}")
+                for i, col in enumerate(unique_cols)
+            ],
         )
-        frames.append(u)
+        frames.append(
+            _rows_from_agg(u_agg, [f"unique({col})" for col in unique_cols])
+        )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
