@@ -284,12 +284,28 @@ def _reset_bpe_cache(_sf_dir: str) -> None:
 
 
 # per-query state reset run before EACH rep (outside the timed section)
+def _reset_covariance_cache(_sf_dir: str) -> None:
+    """embedding_covariance cache()s its dim²-bounded stats frame so the
+    g/s/n slices share ONE corpus pass within a run — but Spark's
+    CacheManager matches canonicalized plans ACROSS runs too, so without
+    a purge reps 2..n would time cache hits instead of the kernel pass.
+    clearCache is safe here: the stats frame is the package's only
+    .cache() user (grep-pinned by test_embedding_covariance_cache_is_
+    only_cache_user)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.catalog.clearCache()
+
+
 PRE_REP = {
     "streaming_chunk_index": _reset_chunk_index_state,
     "embedding_dup_clusters": _reset_pair_cluster_cache,
     "ann_kmeans_codebook": _reset_kmeans_codebook_cache,
     "ann_kmeans_centroids": _reset_kmeans_centroid_cache,
     "bpe_merge_table": _reset_bpe_cache,
+    "embedding_covariance": _reset_covariance_cache,
 }
 
 

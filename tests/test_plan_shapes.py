@@ -526,14 +526,24 @@ def test_hybrid_rrf_no_join_between_retriever_lists(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2, "top-k not pushed map-side"
 
 
-def test_embedding_covariance_gram_kernel_bounded(spark, sf_dir):
-    """The covariance entry's only Python stage is the Arrow Gram
-    kernel, and nothing after the per-partition Gram is corpus-scale:
-    each task emits dim(dim+1)/2 rows, so every Exchange above the
-    MapInPandas moves dim^2-bounded frames. No sort-merge join (the
-    means attach via broadcast onto the dim^2-bounded result)."""
+def test_embedding_covariance_one_pass_cached_stats(spark, sf_dir):
+    """The covariance entry makes ONE corpus pass: the Arrow Gram kernel
+    emits gram + column sums + count together, and the dim^2-bounded
+    stats frame is cache()d so its g/s/n slices read
+    InMemoryTableScan instead of re-planning the corpus scan (the
+    pre-r10 shape re-derived sums from a posexplode aggregate referenced
+    twice — 3 corpus scans). Every slice of the cached frame must be an
+    InMemoryTableScan; the sum tables attach via broadcast; no
+    sort-merge join anywhere."""
     plan = _plan(QUERIES["embedding_covariance"].fn(spark, sf_dir), "simple")
-    assert plan.count("MapInPandas") == 1
+    # exactly one InMemoryTableScan per slice (g, s_i, s_j, n) — every
+    # consumer reads the cache; any slice re-planning the corpus scan
+    # outside the cache would drop a slice from this count. (Textual
+    # FileScan occurrences vary with cache-materialization state — each
+    # InMemoryTableScan re-prints the cached subtree — so they are not a
+    # stable pin; the kernel must still be visible somewhere.)
+    assert plan.count("InMemoryTableScan") == 4, plan
+    assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -550,3 +560,22 @@ def test_compaction_plan_window_is_partition_keyed(spark, sf_dir):
     for l in windows:
         assert "source" in l, l
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_cache_is_only_cache_user():
+    """bench.py purges embedding_covariance's cross-run cache with
+    spark.catalog.clearCache(), which is only safe while the covariance
+    stats frame is the package's ONLY .cache()/persist() user — pin
+    that, so a future cache user forces a targeted purge design."""
+    import pathlib
+
+    import weather_bigquery_lakehouse_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    hits = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#")[0]
+            if ".cache()" in code or ".persist(" in code:
+                hits.append(f"{py.relative_to(root)}:{i}")
+    assert hits == ["operators/embeddings.py:117"], hits

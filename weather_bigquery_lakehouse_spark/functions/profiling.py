@@ -311,8 +311,13 @@ def expectation_report(
         # distinct-vs-ALL-rows: unique iff every row carries its own
         # non-null key — NULL keys count as failures (count(*) includes
         # them, countDistinct does not); exact and combinable. ALL
-        # uniqueness probes ride ONE aggregate (Spark plans multi-
-        # distinct via Expand — one parquet pass, not one scan per key).
+        # uniqueness probes ride ONE aggregate: a single key plans as
+        # the plain two-phase distinct rewrite (no Expand); several keys
+        # plan via Expand — (k+1)x row multiplication in exchange for
+        # ONE parquet decode instead of k (the opposite trade from
+        # profile(), whose per-column stat branches want the scans
+        # independent; a pre-publish gate reads freshly written data
+        # once, so the saved decodes win here).
         u_agg = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("__n"),
             *[

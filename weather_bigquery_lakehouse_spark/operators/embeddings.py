@@ -52,10 +52,16 @@ def embedding_covariance(
     ``scale``-quantized elements, rounded to 6dp (scalar-typed rows for
     the hash gate, like ``embedding_centroids``).
 
-    Plan: per-partition integer Gram via Arrow ``mapInPandas`` (numpy
-    int64 matmul — each task emits dim(dim+1)/2 rows regardless of its
-    row count), one combinable (i, j) sum; means from the dim-row
-    posexplode aggregate; the two dim-bounded tables broadcast onto the
+    Plan: ONE corpus pass — the per-partition Arrow kernel emits the
+    integer Gram (numpy int64 matmul, dim(dim+1)/2 rows per task
+    regardless of row count) PLUS the per-column sums (j = −1 rows) and
+    the row count (i = j = −1) from the same quantized matrix, so the
+    means need no second scan (the pre-r10 shape derived sums/counts
+    from a posexplode aggregate referenced twice, which Spark re-planned
+    into TWO extra corpus scans — 3x read amplification at 100 TB); one
+    combinable (i, j) sum; the dim²-bounded stats frame is
+    localCheckpoint'ed (it is tiny) so its g/s/n slices share one
+    materialization; the dim-bounded sum tables broadcast onto the
     dim²-bounded result. Nothing data-proportional shuffles or collects.
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
@@ -70,41 +76,51 @@ def embedding_covariance(
 
         silence_arrow_concat_futurewarning()
         acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
+        colsum = np.zeros(dim, dtype=np.int64)
+        n_rows = 0
         for b in batches:
             if not len(b):
                 continue
-            seen = True
             y = np.array(b[vec_col].tolist(), dtype=np.float64) * scale
             # HALF-AWAY-FROM-ZERO, matching Spark/DuckDB ROUND — np.rint
             # is half-even and would drift exact-.5 products off the
             # oracle by one integer unit
             m = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
             acc += m.T @ m
-        if not seen:
+            colsum += m.sum(axis=0)
+            n_rows += len(m)
+        if not n_rows:
             return
         iu = np.triu_indices(dim)
         yield pd.DataFrame(
             {
-                "i": iu[0].astype("int32"),
-                "j": iu[1].astype("int32"),
-                "g": acc[iu],
+                "i": np.concatenate(
+                    [iu[0], np.arange(dim), [-1]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [iu[1], np.full(dim, -1), [-1]]
+                ).astype("int32"),
+                "g": np.concatenate([acc[iu], colsum, [n_rows]]),
             }
         )
 
-    g = (
-        embeddings.select(vec_col)
+    stats = (
+        embeddings.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(vec_col)
         .mapInPandas(gram, schema="i int, j int, g long")
         .groupBy("i", "j")
         .agg(F.sum("g").alias("g"))
+        # dim²-bounded and shared by the g/s/n slices: cache() (not
+        # localCheckpoint) so the kernel subtree stays VISIBLE to
+        # explain/plan-lint while materializing once — the slices read
+        # InMemoryTableScan instead of re-planning the corpus scan
+        .cache()
     )
-    ex = embeddings.select(F.posexplode(vec_col).alias("pos", "x")).select(
-        "pos",
-        F.round(F.col("x").cast("double") * scale).cast("bigint").alias("v"),
+    g = stats.where((F.col("i") >= 0) & (F.col("j") >= 0))
+    s = stats.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("pos"), F.col("g").alias("s")
     )
-    s = ex.groupBy("pos").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-    )
+    n = stats.where(F.col("i") == -1).select(F.col("g").alias("n"))
     cov = (
         (F.col("n") * F.col("g") - F.col("s_i") * F.col("s_j")).cast("double")
         / (F.col("n").cast("double") * F.col("n").cast("double") * float(scale) * float(scale))
@@ -115,15 +131,10 @@ def embedding_covariance(
             "i",
         )
         .join(
-            F.broadcast(
-                s.select(
-                    F.col("pos").alias("j"),
-                    F.col("s").alias("s_j"),
-                    F.col("n").alias("n"),
-                )
-            ),
+            F.broadcast(s.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))),
             "j",
         )
+        .crossJoin(F.broadcast(n))  # 1-row corpus count
         .select("i", "j", F.round(cov, 6).alias("cov"))
     )
 
