@@ -289,14 +289,13 @@ def _reset_covariance_cache(_sf_dir: str) -> None:
     g/s/n slices share ONE corpus pass within a run — but Spark's
     CacheManager matches canonicalized plans ACROSS runs too, so without
     a purge reps 2..n would time cache hits instead of the kernel pass.
-    clearCache is safe here: the stats frame is the package's only
-    .cache() user (grep-pinned by test_embedding_covariance_cache_is_
-    only_cache_user)."""
-    from pyspark.sql import SparkSession
+    The purge is TARGETED (the operator registers its cached frames and
+    unpersists exactly those), not a global clearCache."""
+    from weather_bigquery_lakehouse_spark.operators.embeddings import (
+        purge_covariance_cache,
+    )
 
-    spark = SparkSession.getActiveSession()
-    if spark is not None:
-        spark.catalog.clearCache()
+    purge_covariance_cache()
 
 
 PRE_REP = {

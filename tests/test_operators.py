@@ -1945,6 +1945,15 @@ def test_encode_png_row_filters_roundtrip_and_stream_bytes():
     for filters in ([1], [3], [4], [2, 4, 1, 3, 0]):
         assert (decode_png_pixels(encode_png(rgba, row_filters=filters)) == rgba).all()
 
+    # an empty filter list must fail at ENCODE time with a clear error,
+    # not ZeroDivisionError inside an Arrow synth stage
+    import pytest
+
+    with pytest.raises(ValueError, match="row_filters"):
+        encode_png(arr, row_filters=[])
+    with pytest.raises(ValueError, match="filter type"):
+        encode_png(arr, row_filters=[7])
+
 
 def test_resize_pixels_media_png_end_to_end(spark):
     """PNG payloads go through the SAME real resize kernel and come back

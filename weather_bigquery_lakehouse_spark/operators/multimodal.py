@@ -323,6 +323,11 @@ def _filter_scanlines(arr, row_filters) -> bytes:
     the decoder's reconstructed row — vectorized per row in numpy."""
     import numpy as np
 
+    if not row_filters:
+        # fail at ENCODE time with a clear message — indexing an empty
+        # cycle would ZeroDivisionError inside the Arrow synth stage
+        raise ValueError("row_filters must be a non-empty list of 0-4")
+
     h, w, c = arr.shape
     stride, bpp = w * c, c
     px = arr.astype(np.int32).reshape(h, stride)
