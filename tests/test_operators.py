@@ -817,6 +817,33 @@ def test_embedding_covariance_matches_numpy_and_whitening_identity(spark):
     }
 
 
+def test_embedding_covariance_numerator_survives_int64_overflow(spark):
+    """The covariance numerator n*G - S_i*S_j reaches (n*scale*|x|)^2 —
+    int64 wraps SILENTLY (non-ANSI long multiply) near n = 1.5e3 at
+    micro scale with |x| = 2; the decimal(38,0)/HUGEINT formulation must
+    keep agreeing with numpy there. 3000 rows of magnitude-2 values put
+    n*G at ~3.6e19 > 2^63, so the pre-fix code returns wrapped garbage
+    on exactly this corpus."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators.embeddings import (
+        embedding_covariance,
+    )
+
+    n, dim = 3000, 2
+    vals = [
+        (i, [2.0 if (i * 7 + k) % 3 else -2.0 for k in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(vals, "vec_id long, embedding array<double>")
+    got = np.zeros((dim, dim))
+    for r in embedding_covariance(emb, dim).collect():
+        got[r.i, r.j] = got[r.j, r.i] = r.cov
+    x = np.array([v for _, v in vals])
+    ref = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(got, ref, atol=1e-4), (got, ref)
+
+
 def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
     """IVF-PQ's one exactness anchor: probing EVERY cell removes the IVF
     pruning, so the output must equal exhaustive-ADC pq_topk row for row

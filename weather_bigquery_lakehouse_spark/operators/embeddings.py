@@ -28,7 +28,12 @@ Overflow bound (documented, like the bigram LM's): each Gram cell sums
 ``n`` products bounded by ``(|x|·scale)²``, so with |x| ≤ 2 and the
 default micro scale, n must stay ≤ ~5.7e5 per cell at int64 — plenty for
 audit samples; at full-corpus scale pass ``scale=1_000`` (milli), which
-admits n ≤ 5.7e11 at the cost of 3 fewer digits of covariance.
+admits n ≤ 5.7e11 at the cost of 3 fewer digits of covariance. The
+covariance NUMERATOR (``n·G − S_i·S_j`` — each term up to
+``(n·|x|·scale)²``) would overflow int64 far earlier (n ≈ 1.5e3 at
+micro scale), so it is computed in DECIMAL(38,0) engine-side and
+HUGEINT oracle-side — exact to n ≈ 1e12, and the Gram-cell bound above
+stays the binding one.
 """
 
 from __future__ import annotations
@@ -142,8 +147,18 @@ def embedding_covariance(
         F.col("i").alias("pos"), F.col("g").alias("s")
     )
     n = stats.where(F.col("i") == -1).select(F.col("g").alias("n"))
+    # The numerator in DECIMAL(38,0): n·G and S_i·S_j are each bounded
+    # by (n·scale·max|x|)² — BIGINT wraps SILENTLY past n ≈ 1.5e3·(2/max|x|)
+    # at full scale (Spark non-ANSI long multiply), while decimal(20,0)
+    # operands promote to an exact 38-digit product (good to n ≈ 1e12);
+    # the oracle mirrors with HUGEINT. Exact integer → double cast keeps
+    # the rounded 6dp result bit-identical across engines.
+    d20 = "decimal(20,0)"
     cov = (
-        (F.col("n") * F.col("g") - F.col("s_i") * F.col("s_j")).cast("double")
+        (
+            F.col("n").cast(d20) * F.col("g").cast(d20)
+            - F.col("s_i").cast(d20) * F.col("s_j").cast(d20)
+        ).cast("double")
         / (F.col("n").cast("double") * F.col("n").cast("double") * float(scale) * float(scale))
     )
     return (
@@ -184,20 +199,36 @@ def whitening_transform(
     than oracle-gated."""
     import numpy as np
 
-    rows = embedding_covariance(
-        embeddings, dim, id_col, vec_col, scale=scale
-    ).collect()
-    c = np.zeros((dim, dim))
-    for r in rows:
-        c[r.i, r.j] = c[r.j, r.i] = r.cov
-    stats = _COV_STATS_CACHE[-1]
-    sums = stats.where((F.col("i") >= 0) & (F.col("j") == -1)).collect()
-    (n_row,) = stats.where(F.col("i") == -1).collect()
-    n = float(n_row.g)
-    mu = np.zeros(dim)
-    for r in sums:
-        mu[r.i] = r.g / (n * scale)
-    purge_covariance_cache()
+    before = len(_COV_STATS_CACHE)
+    cov_df = embedding_covariance(embeddings, dim, id_col, vec_col, scale=scale)
+    # own EXACTLY the stats frame this call registered — [-1] could be a
+    # concurrent caller's frame, and a blanket purge would unpersist
+    # frames whose covariance results are still lazy elsewhere
+    owned = _COV_STATS_CACHE[before:before + 1]
+    try:
+        rows = cov_df.collect()
+        c = np.zeros((dim, dim))
+        for r in rows:
+            c[r.i, r.j] = c[r.j, r.i] = r.cov
+        mu = np.zeros(dim)
+        if owned:
+            # ONE collect: j == -1 carries the dim column-sum rows
+            # (i >= 0) AND the count row (i == -1)
+            meta = owned[0].where(F.col("j") == -1).collect()
+            n = next((float(r.g) for r in meta if r.i == -1), 0.0)
+            if n > 0:
+                for r in meta:
+                    if r.i >= 0:
+                        mu[r.i] = r.g / (n * scale)
+        # empty/all-null corpus: c and mu stay zero — W degrades to the
+        # eps-floored identity scaling, matching the pre-r10 behavior
+    finally:
+        for fr in owned:
+            fr.unpersist()
+            # identity, not ==: DataFrame.__eq__ builds a Column
+            _COV_STATS_CACHE[:] = [
+                f for f in _COV_STATS_CACHE if f is not fr
+            ]
     lam, v = np.linalg.eigh(c)
     w = v @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ v.T
     return w, mu

@@ -586,6 +586,12 @@ def synth_png_media(
     image can exercise every un-filter path of :func:`decode_png_pixels`
     — the lever the PNG round-trip oracle entry uses to pin all five
     filters under the hash gate."""
+    if row_filters is not None and (
+        not row_filters or any(f not in (0, 1, 2, 3, 4) for f in row_filters)
+    ):
+        # validate DRIVER-side, before any cluster work — worker-side the
+        # same error surfaces as a task-failure-wrapped PythonException
+        raise ValueError(f"row_filters must be a non-empty list of 0-4; got {row_filters}")
     return _synth_pixels_media(
         df,
         lambda arr: encode_png(arr, row_filters=row_filters),
