@@ -1972,14 +1972,18 @@ def test_encode_png_row_filters_roundtrip_and_stream_bytes():
     for filters in ([1], [3], [4], [2, 4, 1, 3, 0]):
         assert (decode_png_pixels(encode_png(rgba, row_filters=filters)) == rgba).all()
 
-    # an empty filter list must fail at ENCODE time with a clear error,
-    # not ZeroDivisionError inside an Arrow synth stage
+    # invalid filter lists must fail EAGERLY over the whole list with a
+    # clear error — not ZeroDivisionError on empty, and not silently
+    # passing when the image height never reaches the bad cycle position
     import pytest
 
     with pytest.raises(ValueError, match="row_filters"):
         encode_png(arr, row_filters=[])
-    with pytest.raises(ValueError, match="filter type"):
+    with pytest.raises(ValueError, match="row_filters"):
         encode_png(arr, row_filters=[7])
+    one_row = arr[:1]
+    with pytest.raises(ValueError, match="row_filters"):
+        encode_png(one_row, row_filters=[0, 9])  # position 1 never reached
 
 
 def test_resize_pixels_media_png_end_to_end(spark):

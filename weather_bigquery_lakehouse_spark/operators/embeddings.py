@@ -60,14 +60,19 @@ def purge_covariance_cache() -> None:
         _COV_STATS_CACHE.pop().unpersist()
 
 
-def embedding_covariance(
+def _covariance_with_stats(
     embeddings: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
-) -> DataFrame:
-    """Population covariance of the corpus embedding matrix, long-form:
+) -> tuple[DataFrame, DataFrame]:
+    """Internal: (covariance frame, its cache()d stats frame) — the
+    stats handle exists so :func:`whitening_transform` owns its frame BY
+    CONSTRUCTION (no registry index arithmetic, no cross-thread race).
+    Public callers use :func:`embedding_covariance`.
+
+    Population covariance of the corpus embedding matrix, long-form:
     one row per (i, j) with i ≤ j — ``cov = (n·G_ij − S_i·S_j) / n²`` over
     ``scale``-quantized elements, rounded to 6dp (scalar-typed rows for
     the hash gate, like ``embedding_centroids``).
@@ -172,7 +177,24 @@ def embedding_covariance(
         )
         .crossJoin(F.broadcast(n))  # 1-row corpus count
         .select("i", "j", F.round(cov, 6).alias("cov"))
-    )
+    ), stats
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Population covariance, long-form (i <= j) — see
+    :func:`_covariance_with_stats` for the one-pass plan narrative and
+    the decimal-numerator overflow discipline. The stats frame it
+    cache()s registers in ``_COV_STATS_CACHE``; call
+    :func:`purge_covariance_cache` between corpora in long-lived
+    sessions (bench does, per rep)."""
+    cov, _stats = _covariance_with_stats(embeddings, dim, id_col, vec_col, scale)
+    return cov
 
 
 def whitening_transform(
@@ -189,46 +211,37 @@ def whitening_transform(
     stays in the original basis). The eigendecomposition runs DRIVER-side
     on the dim×dim frame — bounded metadata, the legitimate exception to
     the no-driver-compute rule; everything data-proportional happened in
-    :func:`embedding_covariance`: ``mu`` derives from the SAME cached
-    stats frame the covariance kernel already built (mu = s/(n·scale) —
-    quantization error ≤ 0.5/scale per element, dominated by ``eps`` in
-    the eigenvalue floor; the pre-r10 shape paid a second full corpus
-    scan for float-exact means), and the stats cache is purged before
-    returning — this is a terminal driver-side consumer. Not
-    SQL-expressible (iterative eigen solve), so pytest-verified rather
-    than oracle-gated."""
+    :func:`_covariance_with_stats`: ``mu`` derives from the SAME cached
+    stats frame the covariance kernel already built — owned here BY
+    CONSTRUCTION via the tuple return, not registry index arithmetic
+    (mu = s/(n·scale), quantization error ≤ 0.5/scale per element,
+    dominated by ``eps`` in the eigenvalue floor; the pre-r10 shape paid
+    a second full corpus scan for float-exact means). The stats frame is
+    deliberately NOT unpersisted here: unpersist is plan-keyed, so it
+    would also evict the CacheManager entry of an identical-plan sibling
+    covariance still lazy elsewhere — cache lifetime belongs to
+    :func:`purge_covariance_cache` (bench calls it per rep; long-lived
+    sessions call it between corpora). Not SQL-expressible (iterative
+    eigen solve), so pytest-verified rather than oracle-gated."""
     import numpy as np
 
-    before = len(_COV_STATS_CACHE)
-    cov_df = embedding_covariance(embeddings, dim, id_col, vec_col, scale=scale)
-    # own EXACTLY the stats frame this call registered — [-1] could be a
-    # concurrent caller's frame, and a blanket purge would unpersist
-    # frames whose covariance results are still lazy elsewhere
-    owned = _COV_STATS_CACHE[before:before + 1]
-    try:
-        rows = cov_df.collect()
-        c = np.zeros((dim, dim))
-        for r in rows:
-            c[r.i, r.j] = c[r.j, r.i] = r.cov
-        mu = np.zeros(dim)
-        if owned:
-            # ONE collect: j == -1 carries the dim column-sum rows
-            # (i >= 0) AND the count row (i == -1)
-            meta = owned[0].where(F.col("j") == -1).collect()
-            n = next((float(r.g) for r in meta if r.i == -1), 0.0)
-            if n > 0:
-                for r in meta:
-                    if r.i >= 0:
-                        mu[r.i] = r.g / (n * scale)
-        # empty/all-null corpus: c and mu stay zero — W degrades to the
-        # eps-floored identity scaling, matching the pre-r10 behavior
-    finally:
-        for fr in owned:
-            fr.unpersist()
-            # identity, not ==: DataFrame.__eq__ builds a Column
-            _COV_STATS_CACHE[:] = [
-                f for f in _COV_STATS_CACHE if f is not fr
-            ]
+    cov_df, stats = _covariance_with_stats(
+        embeddings, dim, id_col, vec_col, scale=scale
+    )
+    c = np.zeros((dim, dim))
+    for r in cov_df.collect():
+        c[r.i, r.j] = c[r.j, r.i] = r.cov
+    mu = np.zeros(dim)
+    # ONE collect: j == -1 carries the dim column-sum rows (i >= 0)
+    # AND the count row (i == -1)
+    meta = stats.where(F.col("j") == -1).collect()
+    n = next((float(r.g) for r in meta if r.i == -1), 0.0)
+    if n > 0:
+        for r in meta:
+            if r.i >= 0:
+                mu[r.i] = r.g / (n * scale)
+    # empty/all-null corpus: c and mu stay zero — W degrades to the
+    # eps-floored identity scaling, matching the pre-r10 behavior
     lam, v = np.linalg.eigh(c)
     w = v @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ v.T
     return w, mu

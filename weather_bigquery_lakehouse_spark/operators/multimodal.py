@@ -315,6 +315,18 @@ def decode_ppm_pixels(payload: bytes):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _validate_row_filters(row_filters) -> None:
+    """One source of truth for the row-filter contract, checked EAGERLY
+    over the whole list (not just cycle positions a given image height
+    happens to reach) and shared by the driver-side synth guard and the
+    encoder — so both surfaces agree on validity and fail before any
+    filtering or cluster work."""
+    if not row_filters or any(f not in (0, 1, 2, 3, 4) for f in row_filters):
+        raise ValueError(
+            f"row_filters must be a non-empty list of 0-4; got {row_filters}"
+        )
+
+
 def _filter_scanlines(arr, row_filters) -> bytes:
     """Forward PNG scanline filtering (spec §9 — the encoder half of the
     five filters :func:`decode_png_pixels` un-filters): per row, apply
@@ -323,10 +335,7 @@ def _filter_scanlines(arr, row_filters) -> bytes:
     the decoder's reconstructed row — vectorized per row in numpy."""
     import numpy as np
 
-    if not row_filters:
-        # fail at ENCODE time with a clear message — indexing an empty
-        # cycle would ZeroDivisionError inside the Arrow synth stage
-        raise ValueError("row_filters must be a non-empty list of 0-4")
+    _validate_row_filters(row_filters)
 
     h, w, c = arr.shape
     stride, bpp = w * c, c
@@ -354,8 +363,8 @@ def _filter_scanlines(arr, row_filters) -> bytes:
                 (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
             )
             filt = line - pred
-        else:
-            raise ValueError(f"PNG filter type must be 0-4; got {f}")
+        else:  # unreachable: _validate_row_filters checked the list
+            raise AssertionError(f)
         out.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
         prev = line
     return b"".join(out)
@@ -586,12 +595,10 @@ def synth_png_media(
     image can exercise every un-filter path of :func:`decode_png_pixels`
     — the lever the PNG round-trip oracle entry uses to pin all five
     filters under the hash gate."""
-    if row_filters is not None and (
-        not row_filters or any(f not in (0, 1, 2, 3, 4) for f in row_filters)
-    ):
+    if row_filters is not None:
         # validate DRIVER-side, before any cluster work — worker-side the
         # same error surfaces as a task-failure-wrapped PythonException
-        raise ValueError(f"row_filters must be a non-empty list of 0-4; got {row_filters}")
+        _validate_row_filters(row_filters)
     return _synth_pixels_media(
         df,
         lambda arr: encode_png(arr, row_filters=row_filters),
