@@ -216,32 +216,40 @@ def whitening_transform(
     CONSTRUCTION via the tuple return, not registry index arithmetic
     (mu = s/(n·scale), quantization error ≤ 0.5/scale per element,
     dominated by ``eps`` in the eigenvalue floor; the pre-r10 shape paid
-    a second full corpus scan for float-exact means). The stats frame is
-    deliberately NOT unpersisted here: unpersist is plan-keyed, so it
-    would also evict the CacheManager entry of an identical-plan sibling
-    covariance still lazy elsewhere — cache lifetime belongs to
-    :func:`purge_covariance_cache` (bench calls it per rep; long-lived
-    sessions call it between corpora). Not SQL-expressible (iterative
-    eigen solve), so pytest-verified rather than oracle-gated."""
+    a second full corpus scan for float-exact means). whitening is a
+    terminal driver-side consumer, so it unpersists its own stats frame
+    in a ``finally`` — self-cleaning by default (no leak across corpora,
+    no stale CacheManager hit if the same path is overwritten in place).
+    The one cost: unpersist is plan-keyed, so a SIBLING covariance over
+    the same corpus still lazy elsewhere loses its cache entry and
+    recomputes when collected — slower, never wrong; callers holding
+    such a sibling should collect it first. Not SQL-expressible
+    (iterative eigen solve), so pytest-verified rather than
+    oracle-gated."""
     import numpy as np
 
     cov_df, stats = _covariance_with_stats(
         embeddings, dim, id_col, vec_col, scale=scale
     )
-    c = np.zeros((dim, dim))
-    for r in cov_df.collect():
-        c[r.i, r.j] = c[r.j, r.i] = r.cov
-    mu = np.zeros(dim)
-    # ONE collect: j == -1 carries the dim column-sum rows (i >= 0)
-    # AND the count row (i == -1)
-    meta = stats.where(F.col("j") == -1).collect()
-    n = next((float(r.g) for r in meta if r.i == -1), 0.0)
-    if n > 0:
-        for r in meta:
-            if r.i >= 0:
-                mu[r.i] = r.g / (n * scale)
-    # empty/all-null corpus: c and mu stay zero — W degrades to the
-    # eps-floored identity scaling, matching the pre-r10 behavior
+    try:
+        c = np.zeros((dim, dim))
+        for r in cov_df.collect():
+            c[r.i, r.j] = c[r.j, r.i] = r.cov
+        mu = np.zeros(dim)
+        # ONE collect: j == -1 carries the dim column-sum rows (i >= 0)
+        # AND the count row (i == -1)
+        meta = stats.where(F.col("j") == -1).collect()
+        n = next((float(r.g) for r in meta if r.i == -1), 0.0)
+        if n > 0:
+            for r in meta:
+                if r.i >= 0:
+                    mu[r.i] = r.g / (n * scale)
+        # empty/all-null corpus: c and mu stay zero — W degrades to the
+        # eps-floored identity scaling, matching the pre-r10 behavior
+    finally:
+        stats.unpersist()
+        # identity, not ==: DataFrame.__eq__ builds a Column
+        _COV_STATS_CACHE[:] = [f for f in _COV_STATS_CACHE if f is not stats]
     lam, v = np.linalg.eigh(c)
     w = v @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ v.T
     return w, mu

@@ -320,10 +320,21 @@ def _validate_row_filters(row_filters) -> None:
     over the whole list (not just cycle positions a given image height
     happens to reach) and shared by the driver-side synth guard and the
     encoder — so both surfaces agree on validity and fail before any
-    filtering or cluster work."""
-    if not row_filters or any(f not in (0, 1, 2, 3, 4) for f in row_filters):
+    filtering or cluster work. len()-based (not truthiness) so numpy
+    arrays validate instead of raising the ambiguous-truth error;
+    identity-typed so bools don't slip through as 0/1."""
+    import numpy as np
+
+    ok = len(row_filters) > 0 and all(
+        isinstance(f, (int, np.integer))
+        and not isinstance(f, bool)
+        and 0 <= int(f) <= 4
+        for f in row_filters
+    )
+    if not ok:
         raise ValueError(
-            f"row_filters must be a non-empty list of 0-4; got {row_filters}"
+            f"row_filters must be a non-empty list of integers 0-4; "
+            f"got {row_filters!r}"
         )
 
 
