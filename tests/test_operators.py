@@ -844,6 +844,48 @@ def test_embedding_covariance_numerator_survives_int64_overflow(spark):
     assert np.allclose(got, ref, atol=1e-4), (got, ref)
 
 
+def test_covariance_cache_evicts_same_plan_and_never_serves_stale(
+    spark, tmp_path
+):
+    """The stats-cache registry (ADVICE r10): repeat covariance calls over
+    the same corpus must not grow the registry (same-canonicalized-plan
+    eviction), and recomputing after the source parquet is overwritten IN
+    PLACE must return fresh values — Spark's CacheManager would otherwise
+    match the canonicalized plan and serve the stale materialization."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators import embeddings as em
+
+    def write(rows):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        df.write.mode("overwrite").parquet(str(tmp_path / "emb"))
+
+    def cov_cell(i, j):
+        emb = spark.read.parquet(str(tmp_path / "emb"))
+        out = {(r.i, r.j): r.cov for r in em.embedding_covariance(emb, 2).collect()}
+        return out[(i, j)]
+
+    em.purge_covariance_cache()
+    try:
+        write([(k, [float(k), float(k % 3)]) for k in range(10)])
+        first = cov_cell(0, 0)
+        assert len(em._COV_STATS_CACHE) == 1
+        # repeat over the SAME corpus: registry must not grow
+        assert cov_cell(0, 0) == first
+        assert len(em._COV_STATS_CACHE) == 1, "same-plan frame not evicted"
+
+        # in-place overwrite: the recompute must see the NEW data
+        write([(k, [2.0 * k, float(k % 5)]) for k in range(10)])
+        second = cov_cell(0, 0)
+        xs = np.array([2.0 * k for k in range(10)])
+        assert abs(second - xs.var()) < 1e-4, (second, xs.var())
+        assert second != first
+        assert len(em._COV_STATS_CACHE) == 1
+    finally:
+        em.purge_covariance_cache()
+    assert not em._COV_STATS_CACHE
+
+
 def test_ivfpq_reduces_to_exhaustive_pq_at_full_probe_width(spark):
     """IVF-PQ's one exactness anchor: probing EVERY cell removes the IVF
     pruning, so the output must equal exhaustive-ADC pq_topk row for row
@@ -1622,6 +1664,39 @@ def test_resize_pixels_media_real_ppm_kernel(spark):
     # fits-the-box passthrough: payload survives byte-identical pixels
     small = {r["media_id"]: r for r in mm.resize_pixels_media(df, max_side=8).collect()}
     assert (decode_ppm_pixels(bytes(small[1]["out_payload"])) == arr).all()
+
+    # keep_payload=True: the input bytes ride through (quarantined rows
+    # included), so a before/after consumer never re-references the
+    # upstream from a second plan branch
+    kept = {
+        r["media_id"]: r
+        for r in mm.resize_pixels_media(df, max_side=2, keep_payload=True).collect()
+    }
+    assert bytes(kept[1]["payload"]) == ppm
+    assert bytes(kept[2]["payload"]) == b"not an image"
+    assert kept[3]["payload"] is None and kept[3]["out_payload"] is None
+
+    # pixels_rows_sides: ONE tagged decode pass over both payload columns;
+    # undecodable sides emit no rows
+    sides = mm.pixels_rows_sides(
+        spark.createDataFrame(
+            [(1, bytearray(ppm), bytearray(ppm)), (2, None, bytearray(b"junk"))],
+            "media_id long, payload binary, out_payload binary",
+        ),
+        {"in": "payload", "out": "out_payload"},
+    ).collect()
+    got = {(r.media_id, r.side) for r in sides}
+    assert got == {(1, "in"), (1, "out")}
+    in_vals = sorted(
+        (r.r, r.c, r.ch, r.v) for r in sides if r.side == "in"
+    )
+    assert len(in_vals) == 4 * 2 * 3
+    assert in_vals == sorted(
+        (rr, cc, ch, int(arr[rr, cc, ch]))
+        for rr in range(2)
+        for cc in range(4)
+        for ch in range(3)
+    )
 
 
 def _wav_bytes(samples, rate=8000, bits=16, channels=1):

@@ -568,15 +568,24 @@ def test_embedding_covariance_cache_is_only_cache_user():
     purge_covariance_cache() manage its lifetime — a cache user anywhere
     else would leak CacheManager entries with no purge discipline (pin
     by file, not line number, so unrelated edits don't churn it)."""
+    import ast
     import pathlib
 
     import weather_bigquery_lakehouse_spark as pkg
 
     root = pathlib.Path(pkg.__file__).parent
-    hits = []
-    for py in root.rglob("*.py"):
-        for line in py.read_text().splitlines():
-            code = line.split("#")[0]
-            if ".cache()" in code or ".persist(" in code:
-                hits.append(str(py.relative_to(root)))
-    assert hits == ["operators/embeddings.py"], hits
+    hits = set()
+    for py in sorted(root.rglob("*.py")):
+        # real AST, not line scraping (ADVICE r10): a '#' inside a string
+        # literal or a literal ".cache()" in a docstring must not
+        # truncate or falsely flag — match actual attribute CALLS named
+        # cache/persist
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("cache", "persist")
+            ):
+                hits.add(str(py.relative_to(root)))
+    assert sorted(hits) == ["operators/embeddings.py"], sorted(hits)

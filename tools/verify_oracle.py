@@ -41,7 +41,12 @@ def _norm(v):
         if math.isnan(v):
             return "nan"
         if v == 0:
-            return "0"
+            # SIGN-STRICT on zero: the driver's hasher distinguishes -0.0
+            # from 0.0 (round-10 lesson — the lenient `v == 0 → "0"` here
+            # green-lit an embedding_covariance cell the driver then
+            # hash-failed). Queries must unsign their zeros at the output
+            # boundary on BOTH engines (functions/numeric.unsign_zero).
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"

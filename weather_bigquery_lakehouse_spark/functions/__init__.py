@@ -5,6 +5,7 @@ from .dates import parse_date_multi
 from .cleaning import drop_null_rows, trim_strings, dedupe_rows, drop_columns, normalize_names
 from .profiling import profile, distinct_counts, consistency_violations
 from .flatten import flatten_structs
+from .numeric import unsign_zero, unsign_zero_sql
 
 __all__ = [
     "surrogate_key",
@@ -19,4 +20,6 @@ __all__ = [
     "distinct_counts",
     "consistency_violations",
     "flatten_structs",
+    "unsign_zero",
+    "unsign_zero_sql",
 ]

@@ -1,0 +1,39 @@
+"""Numeric output-boundary helpers shared by engine and oracle plans.
+
+The one that exists today: signed-zero normalization. IEEE-754 carries a
+sign bit on zero, and ``ROUND`` on a tiny negative quantity preserves it —
+DuckDB's ``ROUND(-4e-9, 6)`` is ``-0.0`` while Spark's ``F.round`` (via
+BigDecimal HALF_UP) emits ``+0.0``. The two are ``==``-equal but hash
+DIFFERENTLY under the driver's exact value hasher (round-10 lesson: one
+``-0.0`` cell out of 2,080 turned ``embedding_covariance`` driver-red
+while the local gate, then zero-sign-lenient, stayed green).
+
+Registry rule, enforced by ``tests/test_signed_zero.py``: every float
+output column whose expression can be NEGATIVE (differences, covariance,
+z-scores, log-ratios, signed drift) is normalized at the output boundary
+on BOTH engines — ``unsign_zero`` here, ``+ 0.0`` in the DuckDB SQL —
+because ``x + 0.0 == x`` for every x except ``-0.0 → +0.0`` (IEEE
+round-to-nearest addition; NaN and ±inf pass through unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def unsign_zero(col: Column) -> Column:
+    """Normalize ``-0.0`` to ``+0.0`` at a float output boundary.
+
+    ``col + 0.0``: the identity for every double except negative zero
+    (IEEE: ``-0.0 + 0.0 = +0.0``), and NULL-transparent (NULL + 0.0 is
+    NULL in Spark's non-ANSI arithmetic, matching DuckDB). Apply AFTER
+    the final ``F.round`` — rounding is where the signed zero is minted.
+    """
+    return col + F.lit(0.0)
+
+
+def unsign_zero_sql(expr: str) -> str:
+    """The oracle-side twin: wrap a DuckDB float expression so its zeros
+    are sign-normalized identically to :func:`unsign_zero`."""
+    return f"({expr} + 0.0)"

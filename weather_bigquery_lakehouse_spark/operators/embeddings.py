@@ -38,17 +38,26 @@ stays the binding one.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numeric import unsign_zero
+
 
 #: Stats frames cache()d by :func:`embedding_covariance`, so consumers
 #: (and bench's per-rep reset) can purge them TARGETED instead of a
-#: global spark.catalog.clearCache().
+#: global spark.catalog.clearCache(). Bounded BY CONSTRUCTION: at most
+#: one entry per distinct corpus plan — :func:`_register_stats` evicts
+#: the previous same-plan frame before caching a new one. All mutations
+#: hold ``_COV_CACHE_LOCK`` (covariance/whitening may run from
+#: concurrent driver threads; a lock-free rebuild could drop a
+#: concurrently appended frame and leak its cache entry).
 _COV_STATS_CACHE: list[DataFrame] = []
+_COV_CACHE_LOCK = threading.Lock()
 
 
 def purge_covariance_cache() -> None:
@@ -56,8 +65,44 @@ def purge_covariance_cache() -> None:
     cache()d this session — the targeted alternative to a global
     clearCache for bench reps and long-lived sessions sweeping many
     corpora."""
-    while _COV_STATS_CACHE:
-        _COV_STATS_CACHE.pop().unpersist()
+    with _COV_CACHE_LOCK:
+        while _COV_STATS_CACHE:
+            _COV_STATS_CACHE.pop().unpersist()
+
+
+def _register_stats(stats: DataFrame) -> None:
+    """Register a freshly cache()d stats frame, first evicting any
+    previously registered frame over the SAME canonicalized plan.
+
+    Spark's CacheManager matches canonicalized plans, so without the
+    eviction a caller that overwrites the source data in place and
+    recomputes covariance would silently read the STALE materialization
+    (and repeat same-corpus calls would grow the registry without
+    bound). ``sameResult`` is the engine's own canonicalized-plan
+    equality; the registry is a handful of dim²-bounded frames, so the
+    O(len) scan is driver-side metadata work.
+    """
+    with _COV_CACHE_LOCK:
+        keep: list[DataFrame] = []
+        new_plan = stats._jdf.queryExecution().logical()
+        for f in _COV_STATS_CACHE:
+            try:
+                same = f._jdf.queryExecution().logical().sameResult(new_plan)
+            except Exception:  # defensive: a dead session's frame
+                same = False
+            if same:
+                f.unpersist()
+            else:
+                keep.append(f)
+        keep.append(stats)
+        _COV_STATS_CACHE[:] = keep
+
+
+def _deregister_stats(stats: DataFrame) -> None:
+    """Tolerant single-frame removal (identity, not ``==`` —
+    ``DataFrame.__eq__`` builds a Column); concurrent appends survive."""
+    with _COV_CACHE_LOCK:
+        _COV_STATS_CACHE[:] = [f for f in _COV_STATS_CACHE if f is not stats]
 
 
 def _covariance_with_stats(
@@ -88,8 +133,12 @@ def _covariance_with_stats(
     localCheckpoint'ed — cache keeps the kernel subtree visible to plan
     lint, but ALSO means Spark's CacheManager matches canonicalized
     plans across runs, so repeat invocations hit the cache; the frame
-    registers in ``_COV_STATS_CACHE`` and :func:`purge_covariance_cache`
-    unpersists — bench calls it per rep, long-lived sessions should too)
+    registers via :func:`_register_stats`, which first EVICTS any prior
+    same-canonicalized-plan frame — so an in-place overwrite of the
+    source can never serve a stale materialization and the registry
+    stays bounded at one entry per distinct corpus;
+    :func:`purge_covariance_cache` drops everything — bench calls it per
+    rep, long-lived sessions can too)
     so its g/s/n slices share one materialization; the dim-bounded sum
     tables broadcast onto the dim²-bounded result. Nothing
     data-proportional shuffles or collects.
@@ -146,7 +195,7 @@ def _covariance_with_stats(
         # InMemoryTableScan instead of re-planning the corpus scan
         .cache()
     )
-    _COV_STATS_CACHE.append(stats)
+    _register_stats(stats)
     g = stats.where((F.col("i") >= 0) & (F.col("j") >= 0))
     s = stats.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("pos"), F.col("g").alias("s")
@@ -176,7 +225,11 @@ def _covariance_with_stats(
             "j",
         )
         .crossJoin(F.broadcast(n))  # 1-row corpus count
-        .select("i", "j", F.round(cov, 6).alias("cov"))
+        # unsign_zero: ROUND on a tiny negative covariance mints -0.0 in
+        # DuckDB but +0.0 under Spark's HALF_UP — ==-equal, hash-different
+        # (the round-10 driver red: one cell in 2,080). Normalized at the
+        # boundary on BOTH engines.
+        .select("i", "j", unsign_zero(F.round(cov, 6)).alias("cov"))
     ), stats
 
 
@@ -190,9 +243,11 @@ def embedding_covariance(
     """Population covariance, long-form (i <= j) — see
     :func:`_covariance_with_stats` for the one-pass plan narrative and
     the decimal-numerator overflow discipline. The stats frame it
-    cache()s registers in ``_COV_STATS_CACHE``; call
-    :func:`purge_covariance_cache` between corpora in long-lived
-    sessions (bench does, per rep)."""
+    cache()s registers in ``_COV_STATS_CACHE`` with same-plan eviction
+    (recomputing over an overwritten source is always FRESH, and repeat
+    same-corpus calls don't grow the registry); call
+    :func:`purge_covariance_cache` to drop all cached stats in
+    long-lived sessions (bench does, per rep)."""
     cov, _stats = _covariance_with_stats(embeddings, dim, id_col, vec_col, scale)
     return cov
 
@@ -248,8 +303,7 @@ def whitening_transform(
         # eps-floored identity scaling, matching the pre-r10 behavior
     finally:
         stats.unpersist()
-        # identity, not ==: DataFrame.__eq__ builds a Column
-        _COV_STATS_CACHE[:] = [f for f in _COV_STATS_CACHE if f is not stats]
+        _deregister_stats(stats)
     lam, v = np.linalg.eigh(c)
     w = v @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ v.T
     return w, mu

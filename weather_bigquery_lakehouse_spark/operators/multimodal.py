@@ -692,7 +692,89 @@ def pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
 ppm_pixels_rows = pixels_rows
 
 
-def resize_pixels_media(df: DataFrame, max_side: int = 96) -> DataFrame:
+def pixels_rows_sides(df: DataFrame, sides: dict[str, str]) -> DataFrame:
+    """:func:`pixels_rows` over SEVERAL payload columns in ONE pass: for
+    each input row, decode every ``sides[label] = column`` payload and
+    emit (media_id, side, r, c, ch, v) rows tagged with the label.
+
+    Why it exists: an entry that checksums both the pre- and post-resize
+    payloads would otherwise reference the synth/resize frame from two
+    plan branches, and Spark re-plans non-identical union/join branches
+    into TWO executions of the whole upstream kernel chain (the
+    union-branch re-plan class — ADVICE r10 on image_png_resize_events).
+    One tagged decode keeps the upstream single-execution; the per-side
+    aggregation happens JVM-side with conditional aggregates.
+    Undecodable payloads emit no rows for that side (quarantine)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("r", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("ch", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    labels = list(sides)
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from weather_bigquery_lakehouse_spark.worker import (
+            silence_arrow_concat_futurewarning,
+        )
+
+        silence_arrow_concat_futurewarning()
+        for pdf in batches:
+            frames = []
+            for idx in range(len(pdf)):
+                media_id = pdf["media_id"].iloc[idx]
+                for label in labels:
+                    payload = pdf[sides[label]].iloc[idx]
+                    decoded = (
+                        decode_pixels(bytes(payload))
+                        if payload is not None
+                        else None
+                    )
+                    if decoded is None:
+                        continue
+                    arr = decoded[0][:, :, :3]
+                    h, w, _ = arr.shape
+                    rr, cc, chh = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "media_id": media_id,
+                                "side": label,
+                                "r": rr.ravel().astype("int32"),
+                                "c": cc.ravel().astype("int32"),
+                                "ch": chh.ravel().astype("int32"),
+                                "v": arr.ravel().astype("int32"),
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {"media_id": pd.array([], dtype="int64"),
+                     "side": pd.array([], dtype="str"),
+                     "r": pd.array([], dtype="int32"),
+                     "c": pd.array([], dtype="int32"),
+                     "ch": pd.array([], dtype="int32"),
+                     "v": pd.array([], dtype="int32")}
+                )
+            )
+
+    cols = ["media_id", *dict.fromkeys(sides.values())]
+    return df.select(*cols).mapInPandas(_rows, schema=out_schema)
+
+
+def resize_pixels_media(
+    df: DataFrame, max_side: int = 96, keep_payload: bool = False
+) -> DataFrame:
     """The resize stage with a REAL pixel kernel for P6 and 8-bit
     truecolor PNG payloads: per media row, decode raw pixels
     (:func:`decode_pixels` — the zero-dependency PPM/PNG codecs),
@@ -701,17 +783,23 @@ def resize_pixels_media(df: DataFrame, max_side: int = 96) -> DataFrame:
     in, Arrow batches out, identical stage shape to :func:`resize_media`
     (which plans dimensions for payloads whose pixels need a codec
     library). Undecodable payloads emit NULL ``out_payload`` with NULL
-    dims — the quarantine column pattern, never a stage kill."""
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("out_width", T.IntegerType()),
-            T.StructField("out_height", T.IntegerType()),
-            T.StructField("out_payload", T.BinaryType()),
-        ]
-    )
+    dims — the quarantine column pattern, never a stage kill.
+    ``keep_payload=True`` carries the INPUT payload through as an extra
+    ``payload`` column, so a consumer that needs both pre- and
+    post-resize bytes (e.g. a before/after checksum via
+    :func:`pixels_rows_sides`) reads them off ONE frame instead of
+    re-referencing the upstream synth from a second plan branch."""
+    fields = [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_payload", T.BinaryType()),
+    ]
+    if keep_payload:
+        fields.append(T.StructField("payload", T.BinaryType()))
+    out_schema = T.StructType(fields)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from weather_bigquery_lakehouse_spark.worker import (
@@ -722,25 +810,19 @@ def resize_pixels_media(df: DataFrame, max_side: int = 96) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = (
-                    decode_pixels(bytes(payload)) if payload is not None else None
-                )
+                raw = bytes(payload) if payload is not None else None
+                tail = (raw,) if keep_payload else ()
+                decoded = decode_pixels(raw) if raw is not None else None
                 if decoded is None:
-                    rows.append((media_id, None, None, None, None, None))
+                    rows.append((media_id, None, None, None, None, None) + tail)
                     continue
                 arr, fmt = decoded
                 h, w = arr.shape[0], arr.shape[1]
                 ow, oh, _scale, down = resize_plan(w, h, max_side)
                 out = resample_nearest(arr, ow, oh) if down else arr
                 encoded = encode_png(out) if fmt == "png" else encode_ppm(out)
-                rows.append((media_id, w, h, ow, oh, encoded))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "width", "height",
-                    "out_width", "out_height", "out_payload",
-                ],
-            )
+                rows.append((media_id, w, h, ow, oh, encoded) + tail)
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
 
     return df.select("media_id", "payload").mapInPandas(_resize, schema=out_schema)
 

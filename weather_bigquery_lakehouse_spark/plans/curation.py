@@ -866,7 +866,7 @@ q AS (
 c AS (SELECT vec_id AS neighbor_id, emb AS ce FROM e),
 scored AS (
   SELECT query_id, neighbor_id,
-         ROUND({dot_qc} / (SQRT({dot_qq}) * SQRT({dot_cc})), {sim.SIM_DECIMALS})
+         (ROUND({dot_qc} / (SQRT({dot_qq}) * SQRT({dot_cc})), {sim.SIM_DECIMALS}) + 0.0)
              AS cosine_sim
   FROM c CROSS JOIN q WHERE neighbor_id <> query_id
 ),
@@ -2162,7 +2162,8 @@ def _contrastive_sql() -> str:
     dot_ab = _DUCK_DOT.format(a="ea", b="eb")
     dot_aa = _DUCK_DOT.format(a="ea", b="ea")
     dot_bb = _DUCK_DOT.format(a="eb", b="eb")
-    cos = f"ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), {sim.SIM_DECIMALS})"
+    # + 0.0 unsigns a rounded tiny-negative cosine's zero (functions/numeric)
+    cos = f"(ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), {sim.SIM_DECIMALS}) + 0.0)"
     return f"""
 WITH RECURSIVE
 pairs AS ({_embedding_dup_sql()}),

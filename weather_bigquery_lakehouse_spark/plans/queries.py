@@ -593,6 +593,7 @@ FROM events GROUP BY event_type
     _SQL_JSON,
     "semi-structured access: JSON path extraction from a string column "
     "(the reference flattens nested JSON at ingest — F12)",
+    retired=True,  # rotated OUT round 11 → pagerank_centrality (adjudicated ACCEPT in VERDICT r10 Next #4: get_json_object is a Catalyst built-in whose engine-side content is one cast + one aggregate, both driver-covered elsewhere; extraction semantics stay pinned vs DuckDB json_extract_string in the strict local gate — flagged: JSON-extraction family keeps zero driver rows)
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _views(spark, sf_dir, ["events"])["events"]
