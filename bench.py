@@ -347,6 +347,22 @@ def main() -> None:
     LOAD_WARN = 4.0
     load_avg = [round(x, 2) for x in os.getloadavg()]
 
+    # Single-thread CPU probe (round-11 lesson): a VM can run 2x slow at
+    # 1-min load 0.1 — HOST-level contention/frequency shows in neither
+    # load_avg nor /proc/stat steal, so the record carries a fixed-work
+    # probe. During the round-11 slow window (every query a uniform
+    # ~2x the r10 quiet record at 1-min load 0.13) this loop timed
+    # ~1.3-1.5 s; cross-round comparisons should ratio their probes
+    # before reading any per-query delta as a plan change.
+    def _cpu_probe_s() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i * i
+        return round(time.perf_counter() - t0, 3)
+
+    cpu_probe_s = _cpu_probe_s()
+
     def run(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
         medians: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
@@ -382,6 +398,7 @@ def main() -> None:
         "value_floor": floor_total,
         "unit": "sec",
         "load_avg": load_avg,
+        "cpu_probe_s": cpu_probe_s,
         "queries": timings,
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 3),
