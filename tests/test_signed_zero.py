@@ -179,7 +179,17 @@ def test_oracle_emits_no_negative_zero(duck, name):
     negative-capable rounded output; this audit catches a wrap that was
     missed on a column the gate data actually exercises."""
     sql = _all_oracles()[name]
-    rows = duck.sql(sql).fetchall()
+    rel = duck.sql(sql)
+    # prepared-plan types, no execution: an oracle with no FLOAT/DOUBLE
+    # anywhere in its output schema (incl. nested DOUBLE[]) is
+    # structurally -0.0-free — skipping the run keeps the audit's suite
+    # cost on the ~40 float-emitting oracles instead of the integer-exact
+    # heavies (bpe_vocab alone fetches 148 s of CTEs for an all-integer
+    # result)
+    types = [str(t).upper() for t in rel.types]
+    if not any("DOUBLE" in t or "FLOAT" in t for t in types):
+        return
+    rows = rel.fetchall()
     offenders = [
         (i, v)
         for i, r in enumerate(rows)
