@@ -146,6 +146,46 @@ def test_covariance_constructed_negative_zero_cell(spark, tmp_path):
         assert out[(i, j)] == cov, (i, j, out[(i, j)], cov)
 
 
+def test_spark_round_emulation_matches_f_round(spark):
+    """The second rounding-parity class (round-11, found at sf0.001):
+    Spark ``F.round`` rounds the double's SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf -> Double.toString, HALF_UP) while DuckDB ROUND
+    rounds the BINARY value — they diverge whenever an integer-ratio
+    quotient is an exact decimal half-way point whose nearest double
+    lies below it (708345/22e6 = exactly 0.0321975; binary is below
+    half; Spark says 0.032198, plain DuckDB ROUND says 0.032197).
+    ``spark_round_sql`` must match ``F.round`` on exactly these
+    adversarial values, plus signed zeros and ordinary values."""
+    from weather_bigquery_lakehouse_spark.functions.numeric import spark_round_sql
+
+    adversarial = [
+        708345 / 22e6,     # the real sf0.001 failure
+        0.0321975,         # same value as a literal double
+        2.675,             # classic below-half binary at 2 digits
+        0.1, 1 / 3, 22 / 7, 1.9999995, 0.9999995, -0.0321975,
+        -4.999e-07, -2.5e-07, 0.0, -0.0, 123.4567895,
+    ]
+    digits = 6
+    rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(adversarial)], "i int, v double"
+    )
+    got_spark = {
+        r.i: r.r
+        for r in rows.select(
+            "i", (F.round(F.col("v"), digits) + F.lit(0.0)).alias("r")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(adversarial):
+        (emul,) = con.sql(
+            f"SELECT {spark_round_sql(repr(v), digits)}"
+        ).fetchall()[0]
+        s = got_spark[i]
+        assert emul == s and math.copysign(1.0, emul) == math.copysign(1.0, s), (
+            v, emul, s
+        )
+
+
 # ---------------------------------------------------------------------------
 # 3. Registry-wide oracle audit: no -0.0 anywhere DuckDB-side
 # ---------------------------------------------------------------------------

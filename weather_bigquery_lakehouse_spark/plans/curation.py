@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import spark_round_sql as _R
 from ..operators import curation as cu
 from ..operators import incremental as inc
 from .extensions import _DUCK_TOKENS, _duck_shingles
@@ -51,7 +52,7 @@ hit AS (
 )
 SELECT per.doc_id, per.n_shingles,
        CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_contaminated,
-       ROUND(CAST(COALESCE(hit.n_hits, 0) AS DOUBLE) / per.n_shingles, 6)
+       {_R('CAST(COALESCE(hit.n_hits, 0) AS DOUBLE) / per.n_shingles', 6)}
            AS contam_frac
 FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
 """
@@ -151,8 +152,7 @@ dfreq AS (
 ),
 scored AS (
   SELECT tf.source, tf.term, tf.tf, dfreq.df,
-         ROUND(CAST(tf.tf AS DOUBLE)
-               * ((nd.n + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)), 6) AS score
+         {_R('CAST(tf.tf AS DOUBLE) * ((nd.n + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0))', 6)} AS score
   FROM tf JOIN dfreq USING (term) CROSS JOIN nd
 ),
 ranked AS (
@@ -316,7 +316,7 @@ hits AS (
 )
 SELECT per.doc_id, per.n_spans,
        CAST(COALESCE(hits.n_rep, 0) AS BIGINT) AS n_repeated_spans,
-       ROUND(CAST(COALESCE(hits.n_rep, 0) AS DOUBLE) / per.n_spans, 6)
+       {_R('CAST(COALESCE(hits.n_rep, 0) AS DOUBLE) / per.n_spans', 6)}
            AS repeated_frac
 FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
 """
@@ -527,8 +527,8 @@ ex AS (
 )
 SELECT vec_id, pos,
        CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS INT) AS q,
-       ROUND(maxabs / 127.0, 8) AS scale,
-       ROUND(SQRT(sq), 6) AS l2_norm
+       {_R('maxabs / 127.0', 8)} AS scale,
+       {_R('SQRT(sq)', 6)} AS l2_norm
 FROM ex
 """
 
@@ -552,7 +552,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GQ_PS = [0.25, 0.5, 0.95]
 
 _SQL_GROUP_QUANTILES = "SELECT event_type, " + ", ".join(
-    f"ROUND(quantile_cont(value, {p}), 6) AS value_p{int(p * 100)}" for p in _GQ_PS
+    f"{_R(f'quantile_cont(value, {p})', 6)} AS value_p{int(p * 100)}"
+    for p in _GQ_PS
 ) + " FROM events GROUP BY event_type"
 
 
@@ -578,7 +579,7 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Z-score anomaly detection
 # --------------------------------------------------------------------------
 
-_SQL_ANOMALY = """
+_SQL_ANOMALY = f"""
 WITH s AS (
   SELECT event_type,
          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sm,
@@ -588,12 +589,11 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       ROUND((e.value - sm / n)
-             / SQRT(ssq / n - (sm / n) * (sm / n)), 4) AS zscore
+       {_R('(e.value - sm / n) / SQRT(ssq / n - (sm / n) * (sm / n))', 4)}
+           AS zscore
 FROM events e JOIN s USING (event_type)
 WHERE ssq / n - (sm / n) * (sm / n) > 0
-  AND ABS(ROUND((e.value - sm / n)
-                / SQRT(ssq / n - (sm / n) * (sm / n)), 4)) > 3
+  AND ABS({_R('(e.value - sm / n) / SQRT(ssq / n - (sm / n) * (sm / n))', 4)}) > 3
 """
 
 
@@ -642,9 +642,9 @@ m2 AS (
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_tokens,
-       ROUND(mean_len, 6) AS mean_word_len,
-       ROUND(dup_frac, 6) AS dup_2gram_frac,
-       ROUND(top_frac, 6) AS top_unigram_frac,
+       {_R('mean_len', 6)} AS mean_word_len,
+       {_R('dup_frac', 6)} AS dup_2gram_frac,
+       {_R('top_frac', 6)} AS top_unigram_frac,
        CAST(n >= {cu.GOPHER_MIN_TOKENS} AND n <= {cu.GOPHER_MAX_TOKENS} AS INT)
            AS flag_n_tokens,
        CAST(mean_len >= {lo} AND mean_len <= {hi} AS INT) AS flag_mean_word_len,
@@ -866,7 +866,7 @@ q AS (
 c AS (SELECT vec_id AS neighbor_id, emb AS ce FROM e),
 scored AS (
   SELECT query_id, neighbor_id,
-         (ROUND({dot_qc} / (SQRT({dot_qq}) * SQRT({dot_cc})), {sim.SIM_DECIMALS}) + 0.0)
+         {_R(f'{dot_qc} / (SQRT({dot_qq}) * SQRT({dot_cc}))', sim.SIM_DECIMALS)}
              AS cosine_sim
   FROM c CROSS JOIN q WHERE neighbor_id <> query_id
 ),
@@ -1123,9 +1123,9 @@ per AS (
 )
 SELECT doc_id,
        n AS n_token_occurrences,
-       ROUND(CAST(sum_df AS DOUBLE) / (CAST(n AS DOUBLE) * nd.n_docs), 6)
+       {_R('CAST(sum_df AS DOUBLE) / (CAST(n AS DOUBLE) * nd.n_docs)', 6)}
            AS mean_df_ratio,
-       ROUND(CAST(n_rare AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rare_frac
+       {_R('CAST(n_rare AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS rare_frac
 FROM per CROSS JOIN nd
 """
 
@@ -1618,10 +1618,8 @@ cond AS (
 )
 SELECT bg.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(p) AS DOUBLE)
-             / (CAST(COUNT(*) AS DOUBLE) * {_LM_SCALE}.0), 6) AS mean_cond_prob,
-       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS novel_bigram_frac
+       {_R("CAST(SUM(p) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * " + str(_LM_SCALE) + ".0)", 6)} AS mean_cond_prob,
+       {_R("CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS novel_bigram_frac
 FROM bg JOIN cond USING (bg)
 GROUP BY bg.doc_id
 """
@@ -1653,8 +1651,8 @@ j AS (
 ),
 bp AS (
   SELECT source,
-         ROUND(quantile_cont(mean_cond_prob, 0.33), 6) AS lm_p33,
-         ROUND(quantile_cont(mean_cond_prob, 0.67), 6) AS lm_p67
+         {_R("quantile_cont(mean_cond_prob, 0.33)", 6)} AS lm_p33,
+         {_R("quantile_cont(mean_cond_prob, 0.67)", 6)} AS lm_p67
   FROM j GROUP BY source
 )
 SELECT j.doc_id, j.source, j.mean_cond_prob, bp.lm_p33, bp.lm_p67,
@@ -1936,8 +1934,7 @@ inter AS (
   GROUP BY a.source, b.source
 )
 SELECT i.source_a, i.source_b, i.shared_shingles,
-       ROUND(CAST(i.shared_shingles AS DOUBLE)
-             / (sa.n + sb.n - i.shared_shingles), 6) AS jaccard
+       {_R('CAST(i.shared_shingles AS DOUBLE) / (sa.n + sb.n - i.shared_shingles)', 6)} AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
@@ -2017,7 +2014,7 @@ hit AS (
 )
 SELECT per.doc_id, per.n_shingles,
        CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_bloom_hits,
-       ROUND(CAST(COALESCE(hit.n, 0) AS DOUBLE) / per.n_shingles, 6) AS bloom_frac
+       {_R('CAST(COALESCE(hit.n, 0) AS DOUBLE) / per.n_shingles', 6)} AS bloom_frac
 FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
 """
 
@@ -2162,8 +2159,8 @@ def _contrastive_sql() -> str:
     dot_ab = _DUCK_DOT.format(a="ea", b="eb")
     dot_aa = _DUCK_DOT.format(a="ea", b="ea")
     dot_bb = _DUCK_DOT.format(a="eb", b="eb")
-    # + 0.0 unsigns a rounded tiny-negative cosine's zero (functions/numeric)
-    cos = f"(ROUND({dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb})), {sim.SIM_DECIMALS}) + 0.0)"
+    # _R = Spark-round emulation incl. the signed-zero normalization
+    cos = _R(f"{dot_ab} / (SQRT({dot_aa}) * SQRT({dot_bb}))", sim.SIM_DECIMALS)
     return f"""
 WITH RECURSIVE
 pairs AS ({_embedding_dup_sql()}),
@@ -2284,7 +2281,7 @@ ranked AS (
 SELECT cluster_id, n_members,
        CAST(label AS INT) AS top_label,
        CAST(n AS BIGINT) AS n_top_label,
-       ROUND(CAST(n AS DOUBLE) / n_members, 6) AS purity
+       {_R('CAST(n AS DOUBLE) / n_members', 6)} AS purity
 FROM ranked WHERE rn = 1
 """
 

@@ -34,6 +34,7 @@ from ..functions.profiling import (
     profile,
 )
 from ..functions.keys import surrogate_key
+from ..functions.numeric import spark_round_sql as _R
 from ..operators.star_schema import build_dim_conformed, build_dim_distinct, build_fact
 
 
@@ -634,8 +635,8 @@ _QUANTILE_PS = [0.25, 0.5, 0.75, 0.95]
 # interpolation definition but may associate the fp arithmetic
 # differently; 6 decimals removes the last-ulp hazard.
 _SQL_QUANTILES = "SELECT " + ", ".join(
-    f"ROUND(quantile_cont(l_quantity, {p}), 6) AS qty_p{int(p * 100)}, "
-    f"ROUND(quantile_cont(l_extendedprice, {p}), 6) AS price_p{int(p * 100)}"
+    f"{_R(f'quantile_cont(l_quantity, {p})', 6)} AS qty_p{int(p * 100)}, "
+    f"{_R(f'quantile_cont(l_extendedprice, {p})', 6)} AS price_p{int(p * 100)}"
     for p in _QUANTILE_PS
 ) + " FROM lineitem"
 
