@@ -186,6 +186,56 @@ def test_spark_round_emulation_matches_f_round(spark):
         )
 
 
+def test_spark_round_emulation_fuzz_integer_ratios(spark):
+    """Bulk fuzz of the emulation over the exposed input class: integer
+    ratios (every jaccard/frac/mean/covariance output is one). 20k
+    deterministic (p, q) pairs — including a dense band engineered to
+    land near 6dp half-way points — rounded by Spark F.round in ONE job
+    and by the DuckDB emulation in ONE query; every pair must agree
+    bit-for-bit including the zero sign."""
+    import duckdb as ddb
+
+    from weather_bigquery_lakehouse_spark.functions.numeric import spark_round_sql
+
+    # deterministic congruential streams; the second band constructs
+    # q = 2*10^6*k so p/q lands exactly on x.xxxxxx5 decimals often
+    pairs = []
+    x = 123456789
+    for i in range(10_000):
+        x = (x * 1103515245 + 12345) % (2**31)
+        p = (x % 2_000_001) - 1_000_000  # signed numerators
+        q = 1 + (x >> 8) % 5_000_000
+        pairs.append((i, p, q))
+    for i in range(10_000):
+        k = 1 + i % 997
+        p = 2 * i + 1              # odd -> p/(2k*1e6) ends in ...5 exactly
+        q = 2 * k * 1_000_000
+        pairs.append((10_000 + i, p if i % 3 else -p, q))
+
+    df = spark.createDataFrame(pairs, "i long, p long, q long")
+    got = {
+        r.i: r.r
+        for r in df.select(
+            "i",
+            (
+                F.round(F.col("p").cast("double") / F.col("q").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("r"),
+        ).collect()
+    }
+
+    con = ddb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, p BIGINT, q BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", pairs)
+    expr = spark_round_sql("CAST(p AS DOUBLE) / CAST(q AS DOUBLE)", 6)
+    mism = []
+    for i, v in con.sql(f"SELECT i, {expr} FROM t").fetchall():
+        g = got[i]
+        if v != g or math.copysign(1.0, v) != math.copysign(1.0, g):
+            mism.append((i, v, g))
+    assert not mism, mism[:5]
+
+
 # ---------------------------------------------------------------------------
 # 3. Registry-wide oracle audit: no -0.0 anywhere DuckDB-side
 # ---------------------------------------------------------------------------
