@@ -1,0 +1,207 @@
+"""Baseline JPEG codec (operators/jpeg.py) — round-trip, exactness, and
+robustness pins.
+
+The exactness contract (module docstring): with the DC quantizer at 8,
+a block-constant image round-trips BIT-EXACTLY (DC = 8·(v−128) is
+divisible by 8 for every integer v; AC terms are analytically zero), so
+the exact tests drive the full pipeline — DCT, quantization, zigzag, DC
+prediction, Huffman, byte stuffing, restart resets, dequantization,
+IDCT — with a hash-sharp assertion, the JPEG analogue of the PNG
+round-trip tests. Arbitrary content is pinned to small bounded error
+under all-ones (near-lossless) quantization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from weather_bigquery_lakehouse_spark.operators import jpeg as J
+
+
+def _tile_image(rng, h, w, tile):
+    """Random block-constant image: one value per tile×tile cell."""
+    th, tw = -(-h // tile), -(-w // tile)
+    cells = rng.integers(0, 256, size=(th, tw))
+    return (
+        np.repeat(np.repeat(cells, tile, axis=0), tile, axis=1)[:h, :w]
+    ).astype(np.uint8)
+
+
+def test_zigzag_table_matches_spec_prefix():
+    """The generated zigzag walk equals the public scan order (pinned on
+    the first 10 and last 3 entries so a walk bug can't hide behind the
+    encoder/decoder sharing the same table)."""
+    rm = [r * 8 + c for r, c in J._zigzag_pairs()]
+    assert rm[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert rm[-3:] == [55, 62, 63]
+    assert sorted(rm) == list(range(64))
+
+
+def test_grayscale_block_constant_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for h, w in ((8, 8), (24, 32), (17, 41), (1, 1), (7, 9)):
+        img = _tile_image(rng, h, w, 8)
+        dec = J.decode_jpeg_pixels(J.encode_jpeg(img, quant_luma=8))
+        assert dec is not None and dec.shape == (h, w, 3)
+        assert (dec == img[:, :, None]).all(), (h, w)
+
+
+def test_grayscale_near_lossless_bounded():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(23, 37)).astype(np.uint8)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(img, quant_luma=1))
+    assert dec.shape == (23, 37, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_rgb_444_near_lossless_bounded():
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(img, quant_luma=1))
+    # all-ones quant: the only loss is YCbCr round-tripping (≤ ~2) plus
+    # coefficient rounding (≤ ~2)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 5
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+def test_gray_valued_rgb_constant_tiles_exact_all_subsamplings(sub):
+    """R=G=B images have Cb=Cr=128 exactly, so chroma subsampling is
+    information-free and the round-trip stays bit-exact for 16-aligned
+    constant tiles under every sampling mode — this is what drives the
+    decoder's general (h, v) MCU block walk and replication upsample."""
+    rng = np.random.default_rng(19)
+    g = _tile_image(rng, 35, 50, 16)
+    img = np.stack([g, g, g], axis=-1)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(img, quant_luma=8, subsampling=sub))
+    assert dec is not None and dec.shape == img.shape
+    assert (dec == img).all(), sub
+
+
+def test_restart_markers_roundtrip_exact_and_bounded():
+    rng = np.random.default_rng(23)
+    img = _tile_image(rng, 24, 40, 8)
+    for interval in (1, 2, 7):
+        payload = J.encode_jpeg(img, quant_luma=8, restart_interval=interval)
+        assert b"\xff\xdd" in payload  # DRI present
+        assert any(bytes([0xFF, 0xD0 + m]) in payload for m in range(8))
+        dec = J.decode_jpeg_pixels(payload)
+        assert (dec == img[:, :, None]).all(), interval
+    # and for arbitrary content the predictors must reset identically
+    img2 = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
+    dec2 = J.decode_jpeg_pixels(J.encode_jpeg(img2, quant_luma=1, restart_interval=3))
+    assert np.abs(dec2[:, :, 0].astype(int) - img2.astype(int)).max() <= 2
+
+
+def test_zrl_long_zero_runs_roundtrip():
+    """A block whose only nonzero quantized AC is the LAST zigzag
+    coefficient forces three ZRL (16-zero-run) symbols before it — the
+    run-length path a flat or natural image never takes. The block is
+    built by inverse-DCT of a chosen coefficient pair, and the test
+    first proves the encoder's own quantizer sees exactly {DC, zz[63]}
+    nonzero, so the round-trip equality certifies ZRL on both sides."""
+    F = np.zeros((8, 8))
+    F[0, 0] = 8.0 * 16  # DC well inside range after the +128 shift
+    F[7, 7] = 16 * 3  # dequantized target for quant=16
+    block = J._DCT_T.T @ F @ J._DCT_T
+    img = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+    # the encoder's view: quantized zigzag must be {0: dc, 63: ±3-ish}
+    coef = J._DCT_T @ (img.astype(np.float64) - 128.0) @ J._DCT_T.T
+    qz = np.round(coef / 16.0).astype(int)[J._ZZ_ROWS, J._ZZ_COLS]
+    assert qz[63] != 0 and (qz[1:63] == 0).all(), qz
+    payload = J.encode_jpeg(img, quant_luma=16)
+    dec = J.decode_jpeg_pixels(payload)
+    # same quantized coefficients on the far side ⇒ pixels match within
+    # the IDCT rounding of the non-integer source block
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_16bit_quant_tables():
+    """Quant entries > 255 switch DQT to 16-bit precision (Pq=1); the
+    decoder reads them back and the constant-image DC error is bounded
+    by Q/16 as the quantizer predicts."""
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    payload = J.encode_jpeg(img, quant_luma=300)
+    dec = J.decode_jpeg_pixels(payload)
+    assert dec is not None
+    assert np.abs(dec[:, :, 0].astype(int) - 200).max() <= 300 // 16 + 1
+
+
+def test_nonuniform_quant_array_and_header_parity():
+    rng = np.random.default_rng(29)
+    q = np.full((8, 8), 24)
+    q[0, 0] = 8  # exact DC, coarse AC
+    img = _tile_image(rng, 40, 56, 8)
+    payload = J.encode_jpeg(img, quant_luma=q)
+    from weather_bigquery_lakehouse_spark.operators.multimodal import (
+        decode_pixels,
+        parse_image_header,
+    )
+
+    assert parse_image_header(payload) == ("jpeg", 56, 40)
+    decoded = decode_pixels(payload)
+    assert decoded is not None and decoded[1] == "jpeg"
+    assert (decoded[0] == img[:, :, None]).all()
+
+
+def test_validation_errors():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        J.encode_jpeg(img, subsampling="4:1:1")
+    with pytest.raises(ValueError):
+        J.encode_jpeg(img, quant_luma=0)
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_decoder_quarantines_unsupported_and_malformed():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg(img, quant_luma=8))
+    # progressive SOF2 in place of SOF0 → None, not a crash
+    i = payload.find(b"\xff\xc0")
+    prog = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
+    assert J.decode_jpeg_pixels(prog) is None
+    # truncations at every interesting boundary: None or a valid decode
+    # (dropping only the EOI still decodes), never an exception
+    for cut in (0, 1, 2, 3, 10, 30, len(payload) // 2, len(payload) - 1):
+        out = J.decode_jpeg_pixels(bytes(payload[:cut]))
+        assert out is None or isinstance(out, np.ndarray)
+    # not-a-jpeg
+    assert J.decode_jpeg_pixels(b"") is None
+    assert J.decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_decoder_never_raises_under_fuzz():
+    """Random FFD8-prefixed byte soup and random single-byte mutations of
+    a valid payload must decode to None or an array — never raise (the
+    quarantine contract the Arrow kernels rely on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(31)
+    base = J.encode_jpeg(_tile_image(rng, 16, 16, 8), quant_luma=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=80), st.data())
+    def check(noise, data):
+        out = J.decode_jpeg_pixels(b"\xff\xd8" + noise)
+        assert out is None or isinstance(out, np.ndarray)
+        pos = data.draw(st.integers(0, len(base) - 1))
+        val = data.draw(st.integers(0, 255))
+        mutated = base[:pos] + bytes([val]) + base[pos + 1 :]
+        out2 = J.decode_jpeg_pixels(mutated)
+        assert out2 is None or isinstance(out2, np.ndarray)
+
+    check()
+
+
+def test_reencode_stability():
+    """decode(encode(x)) is a fixed point for DC-exact inputs: encoding
+    the decoded image reproduces identical bytes (the encoder is a pure
+    function and the pixels are unchanged)."""
+    rng = np.random.default_rng(37)
+    img = _tile_image(rng, 24, 24, 8)
+    first = J.encode_jpeg(img, quant_luma=8)
+    dec = J.decode_jpeg_pixels(first)
+    second = J.encode_jpeg(dec[:, :, 0], quant_luma=8)
+    assert first == second

@@ -510,15 +510,23 @@ def decode_png_pixels(payload: bytes):
 
 def decode_pixels(payload: bytes):
     """Pixel decode dispatch across the REAL zero-dependency codecs:
-    returns ``(array, format)`` for P6 PPM and 8-bit truecolor PNG,
-    ``None`` otherwise (JPEG/WebP/HEIC rasterization genuinely needs a
-    codec library)."""
+    returns ``(array, format)`` for P6 PPM, 8-bit truecolor PNG, and
+    baseline/extended-sequential JPEG (``operators/jpeg.py`` — r11's
+    stub→real conversion, the same path the r10 PNG codec took),
+    ``None`` otherwise (WebP/HEIC rasterization and progressive JPEG
+    genuinely need a codec library)."""
     arr = decode_ppm_pixels(payload)
     if arr is not None:
         return arr, "ppm"
     arr = decode_png_pixels(payload)
     if arr is not None:
         return arr, "png"
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        arr = decode_jpeg_pixels(payload)
+        if arr is not None:
+            return arr, "jpeg"
     return None
 
 
