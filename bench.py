@@ -228,6 +228,8 @@ EXTENDED = [
     "image_png_resize_events",
     "video_metadata_events",
     "probe_media_events",
+    # round-11: the baseline JPEG codec round-trip (DC-exact window)
+    "image_jpeg_roundtrip_events",
 ]
 
 

@@ -2083,3 +2083,50 @@ def test_resize_pixels_media_png_end_to_end(spark):
     rows = (np.arange(2) * 4) // 2
     cols = (np.arange(4) * 8) // 4
     assert (out == arr[rows][:, cols]).all()
+
+
+def test_synth_jpeg_media_roundtrip_exact_and_quarantine(spark):
+    """synth_jpeg_media packs a gray-valued 8×8-block-constant grid into
+    REAL baseline JPEG bytes (4:2:0, DC quantizer 8 — the analytically
+    lossless configuration the oracle entry leans on) and pixels_rows
+    decodes them back bit-exactly through the full codec, partial edge
+    tiles included; a junk payload emits no rows (quarantine)."""
+    import numpy as np
+
+    from weather_bigquery_lakehouse_spark.operators.jpeg import decode_jpeg_pixels
+
+    h, w = 12, 20  # 1 full + 1 partial tile row; 2 full + 1 partial cols
+    rows = [
+        (7, r, c, ch, ((r // 8) * 37 + (c // 8) * 101 + 7) % 256)
+        for r in range(h)
+        for c in range(w)
+        for ch in range(3)
+    ]
+    grid = spark.createDataFrame(
+        rows, "media_id long, r int, c int, ch int, v int"
+    )
+    media = mm.synth_jpeg_media(grid).collect()
+    assert len(media) == 1
+    payload = bytes(media[0]["payload"])
+    assert payload[:2] == b"\xff\xd8"
+    expected = np.array(
+        [[((r // 8) * 37 + (c // 8) * 101 + 7) % 256 for c in range(w)]
+         for r in range(h)],
+        dtype=np.uint8,
+    )
+    assert (decode_jpeg_pixels(payload) == expected[:, :, None]).all()
+
+    decoded = mm.pixels_rows(
+        spark.createDataFrame(
+            [(7, bytearray(payload)), (8, bytearray(b"junk"))],
+            "media_id long, payload binary",
+        ),
+        "payload",
+    ).collect()
+    assert {r.media_id for r in decoded} == {7}
+    got = {(r.r, r.c, r.ch): r.v for r in decoded}
+    assert len(got) == h * w * 3
+    assert all(got[(r, c, ch)] == int(expected[r, c]) for (r, c, ch) in got)
+
+    with pytest.raises(ValueError, match="subsampling"):
+        mm.synth_jpeg_media(grid, subsampling="4:1:1")

@@ -589,3 +589,17 @@ def test_embedding_covariance_cache_is_only_cache_user():
             ):
                 hits.add(str(py.relative_to(root)))
     assert sorted(hits) == ["operators/embeddings.py"], sorted(hits)
+
+
+def test_image_jpeg_roundtrip_single_branch(spark, sf_dir):
+    """The JPEG round-trip entry reads events ONCE and runs one synth →
+    encode → decode kernel chain — no union-branch re-plan duplicating
+    the grid synth (the class ADVICE r10 flagged on the pre-fix PNG
+    entry); no joins or cartesian products anywhere."""
+    plan = _plan(QUERIES["image_jpeg_roundtrip_events"].fn(spark, sf_dir), "simple")
+    assert plan.count("FlatMapGroupsInPandas") <= 2, plan  # one synth stage
+    assert plan.count("MapInPandas") <= 2, plan  # one decode stage
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

@@ -629,6 +629,41 @@ def synth_png_media(
     )
 
 
+def synth_jpeg_media(
+    df: DataFrame,
+    key_col: str = "media_id",
+    row_col: str = "r",
+    col_col: str = "c",
+    ch_col: str = "ch",
+    value_col: str = "v",
+    subsampling: str = "4:2:0",
+    quant: int = 8,
+) -> DataFrame:
+    """:func:`synth_ppm_media`'s JPEG twin: one REAL baseline JPEG
+    payload per key via :func:`~.jpeg.encode_jpeg`. The defaults are the
+    hash-gate configuration: DC quantizer 8 (any block-constant input
+    round-trips bit-exactly — see ``operators/jpeg.py``) and 4:2:0
+    subsampling, so the gated round-trip drives the full pipeline
+    including chroma downsample, MCU interleave, and replication
+    upsample. Callers supply a gray-valued 8×8-block-constant grid for
+    exactness; anything else still encodes, just lossily."""
+    from .jpeg import encode_jpeg
+
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        # driver-side, before any cluster work (same pattern as the PNG
+        # row_filters validation)
+        raise ValueError("subsampling must be '4:4:4', '4:2:2', or '4:2:0'")
+    return _synth_pixels_media(
+        df,
+        lambda arr: encode_jpeg(arr, quant_luma=quant, subsampling=subsampling),
+        key_col,
+        row_col,
+        col_col,
+        ch_col,
+        value_col,
+    )
+
+
 def pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
     """The inverse of :func:`synth_ppm_media`/:func:`synth_png_media`:
     decode each payload (format-dispatched via :func:`decode_pixels` —
