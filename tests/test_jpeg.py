@@ -205,3 +205,62 @@ def test_reencode_stability():
     dec = J.decode_jpeg_pixels(first)
     second = J.encode_jpeg(dec[:, :, 0], quant_luma=8)
     assert first == second
+
+
+def test_hand_crafted_spec_vectors_decode():
+    """Decoder vs the SPEC, not vs our own encoder: a minimal JPEG whose
+    DHT, DQT, and entropy bytes are written BY HAND from T.81's rules,
+    with expected pixels computed analytically — a symmetric
+    encoder/decoder bug cannot hide here.
+
+    Vector 1 (two blocks, DC only): custom DC table ('0'→cat 0, '1'→cat
+    2), AC table EOB-only; entropy byte 0xE8 = 1,11 (diff +3), 0 (EOB),
+    1,00 (diff −3), 0 (EOB). Quant 16 ⇒ block 1 constant
+    3·16/8+128 = 134, block 2 back to 128 (pins DC PREDICTION).
+
+    Vector 2 (one block, one AC): AC table '0'→EOB, '10'→(run 1,
+    size 1); entropy 0,10,1,0 ⇒ zigzag k=2 → (r,c)=(1,0), coefficient
+    +16; expected pixels from the raw DCT-III cosine formula built
+    inline (independent of the module's matrix)."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([2] + [0] * 15) + bytes([0, 2]))
+
+    # --- vector 1: 8x16, two blocks, DC prediction ---
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    p1 = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes([0xE8]) + b"\xff\xd9"
+    )
+    dec = J.decode_jpeg_pixels(p1)
+    assert dec is not None and dec.shape == (8, 16, 3)
+    assert (dec[:, :8] == 134).all()  # 3*16/8 + 128
+    assert (dec[:, 8:] == 128).all()  # predictor 3, diff -3
+
+    # --- vector 2: 8x8, one AC coefficient through a (run, size) code ---
+    sof2 = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_ac2 = seg(
+        0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x11])
+    )
+    # bits: 0 (DC cat 0) | 10 (run 1, size 1) | 1 (+1) | 0 (EOB), then
+    # three 1-fill pad bits → 0b01010111
+    p2 = (
+        b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac2 + sos
+        + bytes([0b01010111]) + b"\xff\xd9"
+    )
+    dec2 = J.decode_jpeg_pixels(p2)
+    assert dec2 is not None and dec2.shape == (8, 8, 3)
+    # zigzag index 2 → (row 1, col 0): F[1,0] = +16, all else 0
+    x = np.arange(8)
+    basis = 0.5 * np.cos((2 * x + 1) * 1 * np.pi / 16.0)  # u=1 DCT row
+    expected = np.clip(
+        np.round(16.0 * np.outer(basis, np.full(8, 0.5 / np.sqrt(2))) + 128.0),
+        0, 255,
+    ).astype(np.uint8)
+    assert (dec2[:, :, 0] == expected).all()
