@@ -264,3 +264,100 @@ def test_hand_crafted_spec_vectors_decode():
         0, 255,
     ).astype(np.uint8)
     assert (dec2[:, :, 0] == expected).all()
+
+
+# ---------------------------------------------------------------------------
+# Decoder vs an INDEPENDENT external encoder/decoder (VERDICT r11 Next #4)
+# ---------------------------------------------------------------------------
+
+_DATA = __file__.rsplit("/", 1)[0] + "/data"
+
+
+def _load_expected(path):
+    toks = open(path).read().split()
+    h, w, nb = int(toks[0]), int(toks[1]), int(toks[2])
+    return np.array(toks[3:], dtype=np.int64).reshape(h, w, nb)
+
+
+def test_decode_external_imageio_grayscale_jpeg():
+    """Decode a baseline JPEG produced by a DIFFERENT encoder — Java
+    `javax.imageio` (JDK 17, committed fixture `imageio_gray24.jpg`:
+    JFIF APP0, Annex-K-style quant table, libjpeg-lineage Huffman
+    tables, none of which our encoder emits) — against that library's
+    own decode of the same bytes (`imageio_gray24_expected.txt`, raw
+    raster samples). Grayscale ⇒ no chroma-upsampling variance between
+    decoders; agreement is IDCT-rounding-tight (observed max |Δ| = 1).
+    A symmetric encode/decode bug in our codec cannot hide here, and
+    neither can a table-parsing bug that only our own DHT/DQT layout
+    avoids."""
+    payload = open(f"{_DATA}/imageio_gray24.jpg", "rb").read()
+    ours = J.decode_jpeg_pixels(payload)
+    expected = _load_expected(f"{_DATA}/imageio_gray24_expected.txt")
+    assert ours is not None and ours.shape == (24, 24, 3)
+    # grayscale replicates across channels
+    assert (ours[:, :, 0] == ours[:, :, 1]).all()
+    assert (ours[:, :, 0] == ours[:, :, 2]).all()
+    diff = np.abs(ours[:, :, 0].astype(np.int64) - expected[:, :, 0])
+    assert diff.max() <= 2, f"max |Δ| vs independent decoder = {diff.max()}"
+
+
+def test_decode_external_cpython_color_jpeg():
+    """Decode the CPython test-suite's `python.jpg` (PSF-licensed test
+    fixture, 16×16 3-component baseline SOF0 with 2×2/1×1 sampling and
+    four file-supplied DHT tables — a real-world external encoder's
+    output) against Java ImageIO's decode of the same bytes. The two
+    decoders use different chroma-upsampling methods (ours:
+    nearest-replication; ImageIO: libjpeg-style fancy/triangular), so
+    per-sample RGB can differ at sharp chroma edges — the pin is the
+    upsampling-independent part: the derived luma plane is tight and
+    the overall RGB error is small (observed: luma max 6.6, RGB mean
+    4.97)."""
+    payload = open(f"{_DATA}/cpython_python16.jpg", "rb").read()
+    ours = J.decode_jpeg_pixels(payload)
+    expected = _load_expected(f"{_DATA}/cpython_python16_expected.txt")
+    assert ours is not None and ours.shape == (16, 16, 3)
+    a, b = ours.astype(np.float64), expected.astype(np.float64)
+
+    def luma(x):
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    assert np.abs(luma(a) - luma(b)).max() <= 8.0
+    assert np.abs(a - b).mean() <= 8.0
+
+
+def test_encode_rejects_oversized_dimensions():
+    """h/w past the 16-bit SOF field raise the codec's documented
+    ValueError, not struct.error (ADVICE r11)."""
+    with pytest.raises(ValueError, match="65535"):
+        J.encode_jpeg(np.zeros((65536, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="65535"):
+        J.encode_jpeg(np.zeros((4, 70000), dtype=np.uint8))
+
+
+def test_numpy_scalar_quantizer_accepted():
+    """A numpy integer scalar quantizer builds the uniform table instead
+    of tripping the 8x8-shape error (ADVICE r11: np.isscalar is False
+    for np.int64)."""
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    assert J.encode_jpeg(img, quant_luma=np.int64(8)) == J.encode_jpeg(
+        img, quant_luma=8
+    )
+
+
+def test_adobe_app14_rgb_transform_quarantined():
+    """A 3-component frame carrying an Adobe APP14 transform=0 marker
+    stores RGB planes directly; applying the YCbCr inverse would be
+    silently wrong, so the decoder quarantines (ADVICE r11). The same
+    stream with transform=1 (explicit YCbCr) must still decode."""
+    import struct as _s
+
+    rgb = np.full((8, 8, 3), 90, dtype=np.uint8)
+    payload = J.encode_jpeg(rgb, quant_luma=8)
+
+    def app14(transform):
+        body = b"Adobe" + _s.pack(">HHHB", 100, 0, 0, transform)
+        return b"\xff\xee" + _s.pack(">H", 2 + len(body)) + body
+
+    assert J.decode_jpeg_pixels(payload[:2] + app14(0) + payload[2:]) is None
+    with_ycc = J.decode_jpeg_pixels(payload[:2] + app14(1) + payload[2:])
+    assert with_ycc is not None and (with_ycc == J.decode_jpeg_pixels(payload)).all()

@@ -667,7 +667,8 @@ def synth_jpeg_media(
 def pixels_rows(df: DataFrame, payload_col: str = "out_payload") -> DataFrame:
     """The inverse of :func:`synth_ppm_media`/:func:`synth_png_media`:
     decode each payload (format-dispatched via :func:`decode_pixels` —
-    P6 PPM or 8-bit truecolor PNG) and emit one (media_id, r, c, ch, v)
+    P6 PPM, 8-bit truecolor PNG, or baseline sequential JPEG) and emit
+    one (media_id, r, c, ch, v)
     row per sample — the row-multiplying Arrow stage that brings pixels
     back into DataFrame land, so pixel assertions/aggregations run as
     plain JVM-side SQL (and the oracle can mirror them without ever
