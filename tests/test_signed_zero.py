@@ -287,3 +287,28 @@ def test_oracle_emits_no_negative_zero(duck, name):
         if _scan_value(v)
     ]
     assert not offenders, f"{name}: -0.0 cells {offenders[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# 4. Rounding-discipline lint (VERDICT r11 Next #5): every ROUND( in every
+#    oracle is either the spark_round_sql emulation or an integer
+#    quantization (CAST … AS BIGINT). A future entry that rounds a float
+#    OUTPUT column with plain ROUND fails here, not in a driver round.
+# ---------------------------------------------------------------------------
+
+
+def test_registry_round_discipline():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from round_lint import lint_registry, lint_sql
+
+    assert lint_registry() == []
+    # the lint itself stays sharp: both violation classes are caught
+    assert lint_sql("x", "SELECT ROUND(a / b, 6) AS r FROM t")
+    assert lint_sql("x", "SELECT CAST(ROUND(a, 4) AS DOUBLE) AS r FROM t")
+    # and both sanctioned forms pass
+    from weather_bigquery_lakehouse_spark.functions.numeric import spark_round_sql
+
+    assert lint_sql("x", "SELECT CAST(ROUND(a * 1e6) AS BIGINT) AS r FROM t") == []
+    assert lint_sql("x", f"SELECT {spark_round_sql('a / b', 6)} AS r FROM t") == []
