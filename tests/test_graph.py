@@ -155,3 +155,20 @@ def test_triangles_property_matches_reference(spark):
         assert _tri_run(spark, edges) == _ref_triangles(edges)
 
     check()
+
+
+def test_triangles_plan_has_no_window_and_no_cartesian(spark):
+    """Plan pin for the round-12 driver-window entry: the wedge build and
+    closure check are equi-joins (no CartesianProduct anywhere — the
+    degree-ordered orientation makes the wedge join key-equi), and no
+    WindowExec sneaks in via the dedup/orientation stages."""
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    plan = (
+        gr.triangle_counts(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
