@@ -339,6 +339,12 @@ def main() -> None:
 
     # Warm up the JVM paths every query shares (codegen, parquet reader,
     # shuffle machinery, broadcast) so timings reflect steady-state cost.
+    # Round-12 negative result (docs/BENCH_NOTES.md): extending this to
+    # explicit exchange/broadcast/sort warm-up statements did NOT shrink
+    # the ~4× first-rep cost of heavy entries — that cost is per-plan
+    # whole-stage-codegen compile plus first-touch page-cache reads of
+    # the sf0.1 parquet, neither of which a generic warm-up can pre-pay —
+    # so the warm-up stays minimal rather than adding sweep overhead.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
