@@ -110,6 +110,19 @@ def main() -> int:
         spark.stop()
         return 1
     failures = 0
+    # Rounding-discipline lint (VERDICT r11 #5) runs inside the gate so a
+    # new un-emulated rounded float boundary fails HERE, not in a driver
+    # round — same rule as tests/test_signed_zero.py, enforced wherever
+    # the oracle itself is checked.
+    sys.path.insert(0, "/root/repo/tools")
+    from round_lint import lint_sql
+
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        for p in lint_sql(name, oracles[name]):
+            print(f"FAIL {p}")
+            failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
