@@ -12,7 +12,7 @@ Three pins here:
   2. the ``unsign_zero`` mechanism works on both engines, including the
      constructed tiny-negative-covariance case that caused the round-10
      failure;
-  3. registry-wide audit — NO oracle in the full 129-entry registry can
+  3. registry-wide audit — NO oracle in the full registry can
      emit a ``-0.0`` cell at the gate's data (run per-oracle on DuckDB;
      the Spark side is covered transitively: every rounded boundary goes
      through ``F.round`` which cannot mint ``-0.0``, and the full
