@@ -361,3 +361,61 @@ def test_adobe_app14_rgb_transform_quarantined():
     assert J.decode_jpeg_pixels(payload[:2] + app14(0) + payload[2:]) is None
     with_ycc = J.decode_jpeg_pixels(payload[:2] + app14(1) + payload[2:])
     assert with_ycc is not None and (with_ycc == J.decode_jpeg_pixels(payload)).all()
+
+
+def _imageio_decode(spark, payload: bytes):
+    """Decode JPEG bytes with the JVM's javax.imageio reader (reached
+    via the Spark session's py4j gateway) — a fully independent decoder
+    implementation — returning (h, w, bands) int64 raster samples, or
+    None where ImageIO cannot parse the stream."""
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    if img is None:
+        return None
+    h, w = img.getHeight(), img.getWidth()
+    raster = img.getRaster()
+    nb = raster.getNumBands()
+    out = np.zeros((h, w, nb), dtype=np.int64)
+    for b in range(nb):
+        vals = raster.getSamples(0, 0, w, h, b, None)
+        out[:, :, b] = np.array(list(vals), dtype=np.int64).reshape(h, w)
+    return out
+
+
+def test_encoder_output_decodes_exactly_in_independent_decoder(spark):
+    """The encoder docstring claims its engine-built canonical Huffman
+    tables and stream layout are 'spec-valid for any conformant reader'
+    — here a CONFORMANT READER WE DID NOT WRITE (javax.imageio, JDK 17)
+    decodes our output, and on the DC-exact input class (block-constant
+    tiles, quantizer 8) it must reproduce the source BIT-EXACTLY:
+    grayscale, RGB 4:4:4, and RGB 4:2:0 with restart markers (gray-
+    valued tiles ⇒ constant chroma ⇒ subsampling is lossless). An
+    encoder bug that our own decoder forgives symmetrically (marker
+    layout, DHT bits/vals ordering, byte stuffing, RST sequencing)
+    breaks this test."""
+    rng = np.random.default_rng(5)
+    tiles = (
+        np.repeat(np.repeat(rng.integers(0, 256, (3, 3)), 8, 0), 8, 1)
+    ).astype(np.uint8)
+
+    got = _imageio_decode(spark, J.encode_jpeg(tiles, quant_luma=8))
+    assert got is not None and (got[:, :, 0] == tiles).all()
+
+    rgb = np.stack([tiles] * 3, axis=-1)
+    got = _imageio_decode(spark, J.encode_jpeg(rgb, quant_luma=8))
+    assert got is not None and (got == rgb).all()
+
+    got = _imageio_decode(
+        spark,
+        J.encode_jpeg(rgb, quant_luma=8, subsampling="4:2:0", restart_interval=2),
+    )
+    assert got is not None and (got == rgb).all()
+
+    # 16-bit DQT (extended sequential): lossy by construction at quant
+    # 300 but must parse and stay within the quantization error bound
+    got = _imageio_decode(
+        spark, J.encode_jpeg(tiles, quant_luma=np.full((8, 8), 300))
+    )
+    assert got is not None
+    assert np.abs(got[:, :, 0] - tiles.astype(np.int64)).max() <= 300
