@@ -419,3 +419,81 @@ def test_encoder_output_decodes_exactly_in_independent_decoder(spark):
     )
     assert got is not None
     assert np.abs(got[:, :, 0] - tiles.astype(np.int64)).max() <= 300
+
+
+def _imageio_jpeg_encode(spark, arr, quality: float) -> bytes:
+    """Encode an array as JPEG with the JDK's ImageIO writer at an
+    explicit compression quality — an external encoder whose quant
+    tables (Annex-K scaled by quality), Huffman tables, and stream
+    layout we do not control."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    kind = (
+        jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        if gray
+        else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    img = jvm.java.awt.image.BufferedImage(w, h, kind)
+    if gray:
+        raster = img.getRaster()
+        for r in range(h):
+            for c in range(w):
+                raster.setSample(c, r, 0, int(arr[r, c]))
+    else:
+        packed = gw.new_array(jvm.int, h * w)
+        for i in range(h * w):
+            r, c = divmod(i, w)
+            packed[i] = (
+                (int(arr[r, c, 0]) << 16)
+                | (int(arr[r, c, 1]) << 8)
+                | int(arr[r, c, 2])
+            )
+        img.setRGB(0, 0, w, h, packed, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(float(quality))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    writer.dispose()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def test_decode_imageio_jpegs_across_quality_settings(spark):
+    """Decoder vs the JDK encoder across its quality range, compared
+    against the JDK's OWN decode of the same bytes (both ends
+    independent of this codec). Quality scales the Annex-K quant tables
+    — tables this codec never emits — so coarse (q=0.3) and fine
+    (q=0.95) quantization of the dequant path are both exercised.
+    Grayscale has no upsampling variance: agreement within ±1. The
+    color case uses a LOW-CHROMA image (near-constant Cb/Cr, no channel
+    clipping) so ImageIO's fancy chroma upsampling and our
+    nearest-replication agree on the 4:2:0 stream it writes: ±2."""
+    rng = np.random.default_rng(11)
+    gray = (
+        np.repeat(np.repeat(rng.integers(0, 256, (4, 4)), 6, 0), 6, 1)
+    ).astype(np.uint8)
+    for q in (0.3, 0.95):
+        payload = _imageio_jpeg_encode(spark, gray, q)
+        ours = J.decode_jpeg_pixels(payload)
+        ref = _imageio_decode(spark, payload)
+        assert ours is not None and ref is not None
+        diff = np.abs(ours[:, :, 0].astype(np.int64) - ref[:, :, 0])
+        assert diff.max() <= 1, f"q={q}: max |Δ| = {diff.max()}"
+
+    base = (
+        np.repeat(np.repeat(rng.integers(60, 196, (4, 4)), 6, 0), 6, 1)
+    ).astype(np.int64)
+    rgb = np.stack(
+        [np.clip(base + 8, 0, 255), base, np.clip(base - 8, 0, 255)], axis=-1
+    ).astype(np.uint8)
+    payload = _imageio_jpeg_encode(spark, rgb, 0.8)
+    ours = J.decode_jpeg_pixels(payload)
+    ref = _imageio_decode(spark, payload)
+    assert ours is not None and ref is not None
+    assert np.abs(ours.astype(np.int64) - ref.astype(np.int64)).max() <= 2
