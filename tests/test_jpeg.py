@@ -497,3 +497,34 @@ def test_decode_imageio_jpegs_across_quality_settings(spark):
     ref = _imageio_decode(spark, payload)
     assert ours is not None and ref is not None
     assert np.abs(ours.astype(np.int64) - ref.astype(np.int64)).max() <= 2
+
+
+def test_externally_encoded_progressive_jpeg_quarantined(spark):
+    """A REAL progressive JPEG (ImageIO writer in progressive mode —
+    SOF2 with multiple scans, not our hand-mutated marker) must take the
+    documented quarantine path: decode returns None, never a wrong
+    image or an exception."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    gray = (
+        np.repeat(np.repeat(rng.integers(0, 256, (3, 3)), 8, 0), 8, 1)
+    ).astype(np.uint8)
+    img = jvm.java.awt.image.BufferedImage(
+        24, 24, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = img.getRaster()
+    for r in range(24):
+        for c in range(24):
+            raster.setSample(c, r, 0, int(gray[r, c]))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    writer.dispose()
+    ios.close()
+    payload = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in payload  # genuinely progressive (SOF2)
+    assert J.decode_jpeg_pixels(payload) is None
