@@ -8,10 +8,21 @@ Prints ONE JSON line:
 Each query materializes fully via the `noop` sink (no driver collect, no
 result truncation — the honest cost of computing the whole answer).
 
-Each query runs REPS times and reports the per-query MEDIAN, so one noisy
-run (CPU contention from a co-tenant process) can't masquerade as a plan
-regression — round-2's recorded bench was ~40% inflated across the board
-by exactly that. Raw per-rep timings ship in "runs" for auditability.
+Each query runs REPS times (default 4) and reports the per-query MEDIAN
+over reps 2..N — the FIRST rep is discarded as cold (round-13 convention
+change, VERDICT r12 Next #4): solo audits in rounds 11-12 proved the
+first rep of a shuffle-heavy entry runs ~4x steady state even on a quiet
+box (per-plan whole-stage-codegen compile + first-touch page-cache reads
+of the sf0.1 parquet — costs a generic warm-up cannot pre-pay, see the
+round-12 negative result below), and median-of-3 landing on that cold
+curve produced two rounds of spurious "counter-mover" audits
+(split_leakage_safe r11, dedup_minhash_lsh r12). The median still
+absorbs one noisy steady rep (CPU contention from a co-tenant process
+can't masquerade as a plan regression — round-2's recorded bench was
+~40% inflated across the board by exactly that). ALL raw per-rep
+timings, including the discarded cold rep, ship in "runs" for
+auditability. Set SPARK_GRAFT_BENCH_LEGACY_MEDIAN=1 to reproduce the
+pre-r13 convention (median over all reps) for cross-round continuity.
 
 The JSON line is additionally NOISE-EVIDENT (round-6 verdict demand: the
 official r6 record read as a +34% regression that was actually box load):
@@ -348,7 +359,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # r13 convention: reps=4, discard the first (cold) rep, median of the
+    # remaining 3. Legacy mode keeps median-of-all for continuity records.
+    legacy = os.environ.get("SPARK_GRAFT_BENCH_LEGACY_MEDIAN", "") == "1"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3" if legacy else "4"))
+    # discarding needs a second rep to exist; single-rep runs keep it
+    discard_first = not legacy and reps >= 2
 
     # Sample box load AFTER warm-up, right before the first timed query:
     # a co-tenant burning CPU now is what inflates the medians.
@@ -384,7 +400,8 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 times.append(round(time.perf_counter() - start, 3))
             raw[name] = times
-            medians[name] = round(statistics.median(times), 3)
+            steady = times[1:] if discard_first else times
+            medians[name] = round(statistics.median(steady), 3)
         return medians, raw
 
     # The driver's per-round record writes the default BENCH_DETAIL.json;
@@ -400,8 +417,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     floor_total = round(sum(min(t) for t in runs.values()), 3)
     extended_floor = round(sum(min(t) for t in extended_runs.values()), 3)
+    metric = (
+        "headline query wall-clock, noop-materialized, median of %d" % reps
+        if not discard_first
+        else "headline query wall-clock, noop-materialized, "
+        "median of %d after discarding the cold first rep" % (reps - 1)
+    )
     summary = {
-        "metric": "headline query wall-clock, noop-materialized, median of %d" % reps,
+        "metric": metric,
         "value": total,
         "value_floor": floor_total,
         "unit": "sec",
@@ -412,6 +435,7 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "extended_floor": extended_floor,
         "reps": reps,
+        "discard_first": discard_first,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stream_shuffle_partitions": stream_parts,
         "detail": detail_name,

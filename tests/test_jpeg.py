@@ -335,20 +335,25 @@ def test_encode_rejects_oversized_dimensions():
 
 
 def test_numpy_scalar_quantizer_accepted():
-    """A numpy integer scalar quantizer builds the uniform table instead
-    of tripping the 8x8-shape error (ADVICE r11: np.isscalar is False
-    for np.int64)."""
+    """Any 0-dimensional quantizer builds the uniform table instead of
+    tripping the 8x8-shape error. _qtab dispatches on np.ndim(q) == 0,
+    which covers Python ints, numpy generics like np.int64 (these were
+    already np.isscalar-true), AND 0-d ndarrays like np.array(8), which
+    np.isscalar rejects (ADVICE r11/r12)."""
     img = np.full((8, 8), 130, dtype=np.uint8)
-    assert J.encode_jpeg(img, quant_luma=np.int64(8)) == J.encode_jpeg(
-        img, quant_luma=8
-    )
+    base = J.encode_jpeg(img, quant_luma=8)
+    assert J.encode_jpeg(img, quant_luma=np.int64(8)) == base
+    assert J.encode_jpeg(img, quant_luma=np.array(8)) == base
 
 
 def test_adobe_app14_rgb_transform_quarantined():
     """A 3-component frame carrying an Adobe APP14 transform=0 marker
     stores RGB planes directly; applying the YCbCr inverse would be
-    silently wrong, so the decoder quarantines (ADVICE r11). The same
-    stream with transform=1 (explicit YCbCr) must still decode."""
+    silently wrong, so the decoder quarantines (ADVICE r11). A malformed
+    transform=2 (YCCK — spec-valid only for 4 components) on a
+    3-component stream quarantines too, as does any other unknown value
+    (ADVICE r12). The same stream with transform=1 (explicit YCbCr)
+    must still decode."""
     import struct as _s
 
     rgb = np.full((8, 8, 3), 90, dtype=np.uint8)
@@ -359,6 +364,8 @@ def test_adobe_app14_rgb_transform_quarantined():
         return b"\xff\xee" + _s.pack(">H", 2 + len(body)) + body
 
     assert J.decode_jpeg_pixels(payload[:2] + app14(0) + payload[2:]) is None
+    assert J.decode_jpeg_pixels(payload[:2] + app14(2) + payload[2:]) is None
+    assert J.decode_jpeg_pixels(payload[:2] + app14(3) + payload[2:]) is None
     with_ycc = J.decode_jpeg_pixels(payload[:2] + app14(1) + payload[2:])
     assert with_ycc is not None and (with_ycc == J.decode_jpeg_pixels(payload)).all()
 
@@ -496,6 +503,91 @@ def test_decode_imageio_jpegs_across_quality_settings(spark):
     ours = J.decode_jpeg_pixels(payload)
     ref = _imageio_decode(spark, payload)
     assert ours is not None and ref is not None
+    assert np.abs(ours.astype(np.int64) - ref.astype(np.int64)).max() <= 2
+
+
+def test_decode_imageio_jpeg_422(spark):
+    """Reverse-direction 4:2:2 interop (VERDICT r12 Next #5): the
+    quality sweep covers JDK-encoded 4:2:0 and grayscale, and our own
+    4:2:2 output is decoded by ImageIO in the forward test — this
+    closes the last asymmetry by feeding a JDK-ENCODED 4:2:2 stream to
+    OUR decoder. The JDK writer only emits 4:2:2 when the native
+    metadata tree's componentSpec sampling factors say so (Y 2x1,
+    chroma 1x1); the SOF0 bytes are asserted so the test fails loudly
+    if a future JDK changes that contract. Low-chroma input keeps
+    ImageIO's fancy chroma upsampling and our nearest-replication
+    within ±2, same as the 4:2:0 quality-sweep case; width 20 leaves a
+    partial MCU column so the 4:2:2 crop path is exercised too."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    h, w = 24, 20
+    rng = np.random.default_rng(17)
+    base = np.repeat(np.repeat(rng.integers(60, 196, (3, 3)), 8, 0), 8, 1)[
+        :h, :w
+    ].astype(np.int64)
+    rgb = np.stack(
+        [np.clip(base + 8, 0, 255), base, np.clip(base - 8, 0, 255)], axis=-1
+    ).astype(np.uint8)
+
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    packed = gw.new_array(jvm.int, h * w)
+    for i in range(h * w):
+        r, c = divmod(i, w)
+        packed[i] = (
+            (int(rgb[r, c, 0]) << 16) | (int(rgb[r, c, 1]) << 8) | int(rgb[r, c, 2])
+        )
+    img.setRGB(0, 0, w, h, packed, 0, w)
+
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.8)
+    spec = jvm.javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+        jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    meta = writer.getDefaultImageMetadata(spec, param)
+    fmt = "javax_imageio_jpeg_image_1.0"
+    tree = meta.getAsTree(fmt)
+    nodes = tree.getElementsByTagName("componentSpec")
+    nodes.item(0).setAttribute("HsamplingFactor", "2")
+    nodes.item(0).setAttribute("VsamplingFactor", "1")
+    for i in (1, 2):
+        nodes.item(i).setAttribute("HsamplingFactor", "1")
+        nodes.item(i).setAttribute("VsamplingFactor", "1")
+    meta.setFromTree(fmt, tree)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, meta), param)
+    writer.dispose()
+    ios.close()
+    payload = bytes(baos.toByteArray())
+
+    import struct as _s
+
+    i, sof_samp = 2, None
+    while i < len(payload) - 4:
+        assert payload[i] == 0xFF
+        marker = payload[i + 1]
+        ln = _s.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker == 0xC0:
+            seg = payload[i + 4 : i + 2 + ln]
+            nc = seg[5]
+            sof_samp = [
+                (seg[7 + 3 * k] >> 4, seg[7 + 3 * k] & 15) for k in range(nc)
+            ]
+            break
+        if marker == 0xDA:
+            break
+        i += 2 + ln
+    assert sof_samp == [(2, 1), (1, 1), (1, 1)], sof_samp  # genuinely 4:2:2
+
+    ours = J.decode_jpeg_pixels(payload)
+    ref = _imageio_decode(spark, payload)
+    assert ours is not None and ref is not None
+    assert ours.shape == (h, w, 3) and ref.shape == (h, w, 3)
     assert np.abs(ours.astype(np.int64) - ref.astype(np.int64)).max() <= 2
 
 

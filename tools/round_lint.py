@@ -59,7 +59,15 @@ def _balanced_close(sql: str, open_paren: int) -> int:
 
 def lint_sql(name: str, sql: str) -> list[str]:
     """Return one violation string per un-emulated rounded float
-    boundary in ``sql`` (empty list = clean)."""
+    boundary in ``sql`` (empty list = clean).
+
+    Known fail-safe coarseness (ADVICE r12, accepted): the regex scan
+    also matches ROUND( inside SQL string literals/comments, and the
+    integer-quantization allowance recognizes only the
+    ``CAST(... AS BIGINT)`` spelling, not DuckDB's postfix ``::BIGINT``.
+    Both misfires FAIL LOUDLY (never pass a real violation); the house
+    convention is therefore: spell integer casts as CAST(... AS BIGINT)
+    and keep ROUND out of quoted strings in oracle SQL."""
     problems = []
     for m in _ROUND_OPEN.finditer(sql):
         arg_open = sql.index("(", m.start())
