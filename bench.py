@@ -32,6 +32,13 @@ official r6 record read as a +34% regression that was actually box load):
 - "load_avg" = 1/5/15-min load averages sampled before the first timed
   query, so a contended box is self-describing in the record. If the
   1-minute load exceeds LOAD_WARN at start, "load_warning" is set.
+- "cpu_probe_s" / "cpu_probe_mid_s" / "cpu_probe_end_s" = the same
+  fixed-work single-thread probe at sweep start, between the headline
+  and extended sweeps, and at the end. HOST-level contention shows in
+  neither load_avg nor steal; a stable probe triple means per-entry
+  deltas are plan-attributable, a drifting one means the sweep outran
+  its window (round-13 lesson: a 0.49-start sweep sagged mid-run and
+  the drift had to be reconstructed from per-entry ratios).
 """
 
 from __future__ import annotations
@@ -412,7 +419,16 @@ def main() -> None:
     detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
 
     timings, runs = run(HEADLINE)
+    # Probe again between the headline and extended sweeps and once more
+    # at the end: round-13 lesson — the start probe read 0.49 while the
+    # host sagged mid-sweep, and the drift had to be narrated from
+    # per-entry ratios instead of read off the record. Three fixed-work
+    # samples make window drift machine-evident: a stable triple means
+    # per-entry deltas are plan-attributable; a rising one means the
+    # sweep outran its window and the record says so itself.
+    cpu_probe_mid_s = _cpu_probe_s()
     extended, extended_runs = run(EXTENDED)
+    cpu_probe_end_s = _cpu_probe_s()
 
     total = round(sum(timings.values()), 3)
     floor_total = round(sum(min(t) for t in runs.values()), 3)
@@ -430,6 +446,8 @@ def main() -> None:
         "unit": "sec",
         "load_avg": load_avg,
         "cpu_probe_s": cpu_probe_s,
+        "cpu_probe_mid_s": cpu_probe_mid_s,
+        "cpu_probe_end_s": cpu_probe_end_s,
         "queries": timings,
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 3),
