@@ -394,11 +394,21 @@ def main() -> None:
 
     cpu_probe_s = _cpu_probe_s()
 
+    # Each entry's start offset (seconds since the first timed query) ships
+    # in the detail file: when a co-tenant burst lands inside a sweep, the
+    # offsets localize it to a wall-clock interval and the entries inside
+    # it, instead of leaving "which entries were hit" to be inferred from
+    # which medians look inflated (round-13 lesson — a burst between the
+    # mid and end probes ruined an extended half invisibly).
+    sweep_t0 = time.perf_counter()
+    entry_offsets: dict[str, float] = {}
+
     def run(names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
         medians: dict[str, float] = {}
         raw: dict[str, list[float]] = {}
         for name in names:
             fn = ALL_QUERIES[name].fn
+            entry_offsets[name] = round(time.perf_counter() - sweep_t0, 1)
             times: list[float] = []
             for _ in range(reps):
                 PRE_REP.get(name, lambda _d: None)(sf_dir)
@@ -476,7 +486,7 @@ def main() -> None:
                            detail_name), "w") as f:
         json.dump(
             {**summary, "runs": runs, "extended_runs": extended_runs,
-             "sizing": SIZING},
+             "entry_offsets": entry_offsets, "sizing": SIZING},
             f, indent=1,
         )
     line = json.dumps(summary)
