@@ -312,3 +312,14 @@ def test_registry_round_discipline():
 
     assert lint_sql("x", "SELECT CAST(ROUND(a * 1e6) AS BIGINT) AS r FROM t") == []
     assert lint_sql("x", f"SELECT {spark_round_sql('a / b', 6)} AS r FROM t") == []
+    # ADVICE r12 false-positive classes are now handled, not conventioned:
+    # DuckDB's postfix cast is the same integer quantization …
+    assert lint_sql("x", "SELECT ROUND(a * 1e6)::BIGINT AS r FROM t") == []
+    # … and ROUND inside literals/comments is invisible to the scan,
+    assert lint_sql("x", "SELECT 'ROUND(a, 2)' AS s FROM t") == []
+    assert lint_sql("x", "SELECT a -- ROUND(b, 2)\nFROM t") == []
+    assert lint_sql("x", "SELECT a /* ROUND(b, 2) */ FROM t") == []
+    # while a real violation NEXT TO a literal (incl. the '' escape) and a
+    # float postfix cast still fail.
+    assert lint_sql("x", "SELECT 'it''s', ROUND(a / b, 6) AS r FROM t")
+    assert lint_sql("x", "SELECT ROUND(a, 4)::DOUBLE AS r FROM t")

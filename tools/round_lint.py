@@ -35,6 +35,7 @@ _INT_TYPES = r"(?:BIGINT|HUGEINT|INTEGER|INT|SMALLINT|TINYINT|UBIGINT|UINTEGER)"
 _ROUND_OPEN = re.compile(r"\bROUND\s*\(", flags=re.I)
 _CAST_BEFORE = re.compile(r"CAST\s*\(\s*$", flags=re.I)
 _INT_AFTER = re.compile(rf"^\s*AS\s+{_INT_TYPES}\s*\)", flags=re.I)
+_INT_POSTFIX = re.compile(rf"^\s*::\s*{_INT_TYPES}\b", flags=re.I)
 _DOUBLE_AFTER = re.compile(r"^\s*AS\s+(?:DOUBLE|FLOAT|REAL)\s*\)", flags=re.I)
 # spark_round_sql's inner argument: CAST(CAST((expr) AS VARCHAR) AS
 # DECIMAL(38,15)), digits — matched on the normalized prefix.
@@ -42,6 +43,47 @@ _EMUL_INNER = re.compile(
     r"^CAST\s*\(\s*CAST\s*\(\s*\(", flags=re.I
 )
 _EMUL_DECIMAL = re.compile(r"AS\s+DECIMAL\s*\(\s*38\s*,\s*15\s*\)\s*\)\s*,", flags=re.I)
+
+
+def _blank_literals(sql: str) -> str:
+    """Replace the CONTENTS of single-quoted literals, ``--`` line
+    comments, and ``/* */`` block comments with spaces, preserving every
+    offset, so the ROUND scan never fires on quoted text (ADVICE r12).
+    SQL's '' escape inside a literal is handled; an unterminated literal
+    is blanked to end-of-string (fail-safe: nothing hidden)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j < n:
+                out.append("'" + " " * (j - i - 1) + "'")
+                i = j + 1
+            else:
+                out.append("'" + " " * (n - i - 1))
+                i = n
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append(" " * (j - i))
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i)
+            j = n if j == -1 else j + 2
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _balanced_close(sql: str, open_paren: int) -> int:
@@ -61,14 +103,15 @@ def lint_sql(name: str, sql: str) -> list[str]:
     """Return one violation string per un-emulated rounded float
     boundary in ``sql`` (empty list = clean).
 
-    Known fail-safe coarseness (ADVICE r12, accepted): the regex scan
-    also matches ROUND( inside SQL string literals/comments, and the
-    integer-quantization allowance recognizes only the
-    ``CAST(... AS BIGINT)`` spelling, not DuckDB's postfix ``::BIGINT``.
-    Both misfires FAIL LOUDLY (never pass a real violation); the house
-    convention is therefore: spell integer casts as CAST(... AS BIGINT)
-    and keep ROUND out of quoted strings in oracle SQL."""
+    Both ADVICE-r12 false-positive classes are handled rather than
+    conventioned away: string-literal/comment contents are blanked
+    before the scan (``_blank_literals`` — offset-preserving, so
+    snippets still line up), and the integer-quantization allowance
+    accepts DuckDB's postfix ``ROUND(...)::BIGINT`` alongside
+    ``CAST(... AS BIGINT)``. Any remaining misfire still FAILS LOUDLY
+    (never passes a real violation)."""
     problems = []
+    sql = _blank_literals(sql)
     for m in _ROUND_OPEN.finditer(sql):
         arg_open = sql.index("(", m.start())
         arg_close = _balanced_close(sql, arg_open)
@@ -78,6 +121,8 @@ def lint_sql(name: str, sql: str) -> list[str]:
         wrapped_in_cast = bool(_CAST_BEFORE.search(before))
         if wrapped_in_cast and _INT_AFTER.match(after):
             continue  # integer micro-unit quantization — fine
+        if _INT_POSTFIX.match(after):
+            continue  # same quantization, DuckDB postfix-cast spelling
         if (
             wrapped_in_cast
             and _DOUBLE_AFTER.match(after)
