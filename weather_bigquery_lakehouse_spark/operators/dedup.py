@@ -305,13 +305,31 @@ def lsh_verified_pairs(
     naively tokenizes and shingles the corpus twice — the CPU-heaviest
     stage, so at 100 TB the fusion halves the dominant cost. Results are
     identical to the composition by construction (both stages derive from
-    the same shingle rows)."""
+    the same shingle rows).
+
+    Round-13: the verify stage shingle-joins ONLY candidate-involved
+    documents — ``incremental_lsh_pairs``' documented prune applied to
+    the batch path. The exact-Jaccard self-join is quadratic in shingle
+    document-frequency, and non-candidate pairs were previously computed
+    and aggregated just to be semi-joined away afterwards (measured at
+    sf0.1: 1.27M co-shingle join rows for 1,117 candidate pairs over
+    1,159 involved docs — 23% of the corpus). Restricting BOTH join
+    sides to candidate-involved docs keeps every candidate pair's full
+    shingle sets (sizes and intersections unchanged), so the emitted
+    pairs are identical; the candidate frame is checkpointed because the
+    doc-set derivation and the final pair filter both consume it."""
     sh = _doc_shingles(df, text_col, id_col, k).localCheckpoint(eager=True)
     sig = _signatures_from_shingles(sh, id_col, n_hashes)
     candidates = _candidate_pairs_from_sig(
         sig, id_col, n_hashes, band_rows, max_bucket_size
+    ).localCheckpoint(eager=True)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    return _jaccard_from_shingles(sh, id_col, threshold, candidates)
+    sh_verify = sh.join(cand_docs, id_col, "left_semi")
+    return _jaccard_from_shingles(sh_verify, id_col, threshold, candidates)
 
 
 def edit_distance_pairs(
@@ -527,9 +545,12 @@ def simhash(
 
     Near-dup lookup downstream is then equality (or small-radius Hamming
     probing by flipping bits) — no pairwise scan."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
-    )
+    # spread the tokenize+explode stage (the _doc_shingles pattern): off
+    # a compacted zone the per-token md5 stream otherwise runs on the
+    # scan's few partitions before the groupBy's partial aggregate
+    tok = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
     # 60-bit integer from the md5 hex prefix — portable across engines.
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
     tok = tok.select(id_col, h.alias("h"))
@@ -558,7 +579,7 @@ def connected_components(
     (min id). Output: (node, cluster_id).
 
     This is the Pregel-style pattern with pointer doubling: each iteration
-    (a) joins labels along edges and takes the per-node min, then (b)
+    (a) propagates labels along edges and takes the per-node min, then (b)
     contracts label chains by replacing every label with its own label
     (``comp ← label(comp)``). The contraction halves the remaining chain
     depth, so convergence is O(log diameter) instead of O(diameter) —
@@ -575,6 +596,21 @@ def connected_components(
     iteration). All joins key on node ids — shuffle-partitioned, no
     all-pairs, no driver-side graph.
 
+    Round-13 iteration shape (results identical, fewer exchanges/jobs):
+
+    * Round 0 is FUSED into label initialization. With ``labels(v) = v``
+      the first min-propagation round reduces to
+      ``comp = min(node, min(neighbors))`` — one map-side-combinable
+      aggregate straight over the symmetrized edge list (every node
+      appears as ``src``), replacing the old distinct-nodes checkpoint
+      job PLUS the first round's edge⋈labels join.
+    * Later rounds take the per-node min over {own label} ∪ {incoming
+      labels} with ONE union + aggregate (the own row rides the same
+      combinable min, tagged so the OLD label falls out of the identical
+      aggregate for the change flag) instead of the former
+      groupBy + second labels join — one exchange and one join fewer per
+      round.
+
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iterations`` — silently returning non-converged labels would
     split one true component into several cluster_ids.
@@ -583,25 +619,38 @@ def connected_components(
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+    # round 0, fused: comp = min(node, min(neighbors)); flag = changed
+    new_labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            "node",
+            F.least("node", "__mn").alias("comp"),
+            (F.least("node", "__mn") != F.col("node")).cast("int").alias("__chg"),
+        )
         .localCheckpoint(eager=True)
     )
-    changed = 1
-    for it in range(max_iterations):
+    row = new_labels.agg(F.max("__chg").alias("c")).first()
+    changed = int(row["c"] or 0)
+    labels = new_labels.select("node", "comp")
+    for it in range(1, max_iterations):
+        if changed == 0:
+            break
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "comp"
+            F.col("dst").alias("node"), "comp", F.lit(0).alias("__own")
         )
-        # min over {own label} ∪ {incoming labels} via a keyed join +
-        # least() so the OLD label rides along for the change flag
-        # (least() skips the NULL mcomp of message-less nodes)
-        min_msg = msgs.groupBy("node").agg(F.min("comp").alias("__mcomp"))
-        cand = labels.join(min_msg, "node", "left").select(
-            "node",
-            F.col("comp").alias("__old"),
-            F.least("comp", "__mcomp").alias("comp"),
+        own = labels.select("node", "comp", F.lit(1).alias("__own"))
+        # one combinable aggregate over own ∪ incoming rows: min(comp) is
+        # the propagated label, and the tagged own row (exactly one per
+        # node) yields the OLD label for the change flag — no second join
+        cand = (
+            msgs.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(F.when(F.col("__own") == 1, F.col("comp"))).alias("__old"),
+            )
+            .select("node", "__old", "comp")
         )
         if it < 2:
             # near-dup components are usually pairs/small cliques that

@@ -61,6 +61,11 @@ from pyspark.sql.window import Window
 
 MICRO = 1_000_000  # micro-unit quantization scale (matches pq_topk's ADC)
 
+#: widest distance-kernel unroll that measured FASTER than the
+#: interpreted fold (see _micro_l2sq); wider chains regress on
+#: optimizer/codegen constants.
+_UNROLL_MAX_WIDTH = 16
+
 
 def _to_micro(vec: Column) -> Column:
     """array<float|double> → array<bigint> in micro-units (half-away
@@ -71,9 +76,24 @@ def _to_micro(vec: Column) -> Column:
     )
 
 
-def _micro_l2sq(a: Column, b: Column) -> Column:
+def _micro_l2sq(a: Column, b: Column, width: int | None = None) -> Column:
     """Exact squared L2 between micro-int arrays — a bigint fold, so the
-    sum is order-independent and tie-breaks need no epsilon."""
+    sum is order-independent and tie-breaks need no epsilon. With
+    ``width`` (the statically known component count) the fold is UNROLLED
+    into a flat codegen-compiled add chain — higher-order functions are
+    interpreted expression-by-expression, and this is the per-(vector,
+    codeword) hot kernel of every Lloyd assignment; the bigint sum is
+    identical either way. Unrolling is capped at ``_UNROLL_MAX_WIDTH``:
+    the round-13 A/B measured width-8 unrolls faster (PQ codebook 0.82×)
+    but width-64 chains SLOWER (2.2×) — huge flat expression trees blow
+    up optimizer/codegen constants faster than they save interpreted
+    element evals (negative result, OPTIMIZATION_r13.md)."""
+    if width is not None and width <= _UNROLL_MAX_WIDTH:
+        s: Column = F.lit(0).cast("bigint")
+        for i in range(1, width + 1):
+            d = F.element_at(a, i) - F.element_at(b, i)
+            s = s + d * d
+        return s
     diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
@@ -90,7 +110,9 @@ _HALF_AWAY_MEAN = (
 )
 
 
-def _assign_codes(train: DataFrame, cb: DataFrame) -> DataFrame:
+def _assign_codes(
+    train: DataFrame, cb: DataFrame, width: int | None = None
+) -> DataFrame:
     """One Lloyd assignment step: broadcast the ≤ groups·n_codes codebook,
     take the exact-integer-distance argmin per (group, id) with a
     map-side-combinable struct-min (lexicographic: smallest distance,
@@ -102,7 +124,7 @@ def _assign_codes(train: DataFrame, cb: DataFrame) -> DataFrame:
             "__id",
             "__v",
             F.struct(
-                _micro_l2sq(F.col("__v"), F.col("__c")).alias("d"),
+                _micro_l2sq(F.col("__v"), F.col("__c"), width).alias("d"),
                 F.col("__code").alias("code"),
             ).alias("__cand"),
         )
@@ -184,6 +206,7 @@ def train_grouped_codebook(
     code_col: str = "code_id",
     out_vec_col: str = "__cv",
     single_group: bool = False,
+    width: int | None = None,
 ) -> DataFrame:
     """Train one k-means codebook PER GROUP over (group, id, vector) rows
     — all groups in the same Spark jobs (PQ trains its ``m`` subspace
@@ -197,6 +220,16 @@ def train_grouped_codebook(
     an iteration keep their previous position (standard empty-cluster
     handling, deterministic). The returned frame is localCheckpointed
     (≤ groups·n_codes rows): reuse it across queries without retraining.
+
+    ``width`` (the statically known component count of ``vec_col``)
+    switches the update step to its round-13 shape: per-component sums
+    become ``width`` UNROLLED codegen sum columns in the SAME aggregate
+    that counts members — no posexplode (which multiplied the assignment
+    stream ×width before its shuffle), no second per-(group, code)
+    aggregate, no map_from_entries reassembly — and the assignment
+    distance kernel unrolls too (see :func:`_micro_l2sq`). One exchange
+    per Lloyd iteration instead of two, with identical integer results;
+    ``None`` keeps the dynamic-width fold/explode path.
     """
     if n_codes < 1 or n_iter < 0:
         raise ValueError(f"need n_codes >= 1, n_iter >= 0; got {n_codes}, {n_iter}")
@@ -216,8 +249,11 @@ def train_grouped_codebook(
     select = _select_single_group if single_group else _select_grouped
     cb, train = select(quant, n_codes, sample_n)
     cb = cb.localCheckpoint(eager=True)
-    n_cb = cb.count()
-    n_groups = cb.select("__g").distinct().count()
+    # one validation job, not two (count + distinct-count share one agg)
+    vrow = cb.agg(
+        F.count(F.lit(1)).alias("n_cb"), F.countDistinct("__g").alias("n_groups")
+    ).first()
+    n_cb, n_groups = int(vrow["n_cb"]), int(vrow["n_groups"])
     if n_groups == 0 or n_cb != n_groups * n_codes:
         raise ValueError(
             f"codebook incomplete: {n_cb} codewords over {n_groups} groups "
@@ -225,33 +261,55 @@ def train_grouped_codebook(
             f"n_codes vectors"
         )
     for _ in range(n_iter):
-        assigned = _assign_codes(train, cb)
-        comp = assigned.select(
-            "__g", "__code", F.posexplode("__v").alias("__j", "__x")
-        )
-        sums = comp.groupBy("__g", "__code", "__j").agg(
-            F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n")
-        )
-        mean = sums.select(
-            "__g", "__code", "__j", F.expr(_HALF_AWAY_MEAN).alias("__mx")
-        )
-        updated = (
-            mean.groupBy("__g", "__code")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("__j", "__mx"))
-                ).alias("__m"),
-                F.max("__j").alias("__maxj"),
+        assigned = _assign_codes(train, cb, width)
+        if width is not None:
+            # unrolled update: the member count and all `width` component
+            # sums ride ONE map-side-combinable aggregate; the mean array
+            # is assembled from the sum columns in a plain projection
+            sums = assigned.groupBy("__g", "__code").agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__v", j + 1)).alias(f"__s{j}")
+                    for j in range(width)
+                ],
             )
-            .select(
+            updated = sums.select(
                 "__g",
                 "__code",
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__maxj")),
-                    lambda j: F.element_at("__m", j.cast("int")),
+                F.array(
+                    *[
+                        F.expr(_HALF_AWAY_MEAN.replace("__s", f"__s{j}"))
+                        for j in range(width)
+                    ]
                 ).alias("__cnew"),
             )
-        )
+        else:
+            comp = assigned.select(
+                "__g", "__code", F.posexplode("__v").alias("__j", "__x")
+            )
+            sums = comp.groupBy("__g", "__code", "__j").agg(
+                F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n")
+            )
+            mean = sums.select(
+                "__g", "__code", "__j", F.expr(_HALF_AWAY_MEAN).alias("__mx")
+            )
+            updated = (
+                mean.groupBy("__g", "__code")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__j", "__mx"))
+                    ).alias("__m"),
+                    F.max("__j").alias("__maxj"),
+                )
+                .select(
+                    "__g",
+                    "__code",
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__maxj")),
+                        lambda j: F.element_at("__m", j.cast("int")),
+                    ).alias("__cnew"),
+                )
+            )
         # empty codeword → keep its previous position
         cb = (
             cb.join(updated, ["__g", "__code"], "left")
@@ -321,6 +379,7 @@ def kmeans_pq_codebook(
         id_col="__kid",
         vec_col="__sv",
         sample_n=sample_n,
+        width=sub,
     )
     if key is not None:
         _PQ_CB_CACHE.clear()
@@ -336,18 +395,21 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: object = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Trained IVF centroids ``(cell_id, centroid)`` — the single-group
     k-means (L2 objective; ``assign_cells`` still routes by cosine at
     query time, the usual pairing for roughly-normalized embeddings).
     Drop-in for the first-``n_cells`` stand-in via
     ``ivf_topk(..., centroids=)`` / ``ivfpq_topk(..., centroids=)``.
-    ``cache_key`` memoizes like :func:`kmeans_pq_codebook`."""
+    ``cache_key`` memoizes like :func:`kmeans_pq_codebook`. ``dim`` (the
+    statically known vector width) enables the unrolled one-exchange
+    Lloyd update — see :func:`train_grouped_codebook`."""
     key = None
     if cache_key is not None:
         key = (
             embeddings.sparkSession.sparkContext.applicationId,
-            cache_key, n_cells, n_iter, sample_n, id_col, vec_col,
+            cache_key, n_cells, n_iter, sample_n, id_col, vec_col, dim,
         )
         hit = _CENTROID_CACHE.get(key)
         if hit is not None:
@@ -366,6 +428,7 @@ def kmeans_centroids(
         code_col="cell_id",
         out_vec_col="centroid",
         single_group=True,
+        width=dim,
     )
     out = cb.select("cell_id", "centroid")
     if key is not None:

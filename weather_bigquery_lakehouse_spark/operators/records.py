@@ -87,9 +87,20 @@ def _blocked_self_join(
     ``max_block_size`` drops overflowing blocks before the join
     (broadcast anti-join on the hot keys — the LSH bucket-cap pattern
     verbatim): a block with n rows emits ~n²/2 pairs, so one degenerate
-    key must not go quadratic."""
+    key must not go quadratic.
+
+    The base is hash-repartitioned by id up front (the `_doc_shingles`
+    spread pattern): when the planner broadcasts the b-side, NOTHING else
+    shuffles the a-side, so the ~n²/2-pair explosion and its per-pair
+    Levenshtein kernels inherit the SCAN partitioning — a zone compacted
+    into few files runs the whole quadratic stage on few cores (measured
+    at sf0.1, 900k pairs: scoring stage 3.5 s → 0.95 s with the spread,
+    same-session A/B). The moved bytes are the compact pre-explosion
+    records."""
     base = df.select(
         F.col(id_col), *[F.col(c) for c in dict.fromkeys(block_cols + payload_cols)]
+    ).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     if max_block_size is not None:
         hot = (
