@@ -563,27 +563,29 @@ def repeated_span_flags(
     onto the span stream by key. Work ∝ corpus spans, the same budget a
     C4 pass spends at 100 TB.
     """
-    sh = span_membership(df, k, text_col, id_col)
-    hot = hot_spans(sh, min_docs)
-    per = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    hits = (
-        sh.join(hot, "__span")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n_rep"))
+    # Round-13 shape: the span frame is materialized ONCE (it feeds the
+    # hot-span count AND the per-doc accounting — unchecked, the
+    # tokenize+shingle+explode lineage re-ran per consumer, 3× before),
+    # and the former two aggregates + left join (total spans; hot hits)
+    # fuse into ONE left join against the hot set tagged with a 1-lit
+    # plus ONE per-doc aggregate: count(*) is n_spans, sum(tag) is
+    # n_repeated. Identical values, two corpus-span passes and one
+    # shuffle fewer.
+    sh = span_membership(df, k, text_col, id_col).localCheckpoint(eager=True)
+    hot = hot_spans(sh, min_docs).select("__span", F.lit(1).alias("__hot"))
+    flagged = sh.join(hot, "__span", "left")
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.coalesce(F.sum("__hot"), F.lit(0)).alias("__n_rep"),
     )
-    return (
-        per.join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_spans").cast("bigint").alias("n_spans"),
-            F.coalesce(F.col("__n_rep"), F.lit(0)).cast("bigint")
-            .alias("n_repeated_spans"),
-            F.round(
-                F.coalesce(F.col("__n_rep"), F.lit(0)).cast("double")
-                / F.col("n_spans"),
-                6,
-            ).alias("repeated_frac"),
-        )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.col("__n_rep").cast("bigint").alias("n_repeated_spans"),
+        F.round(
+            F.col("__n_rep").cast("double") / F.col("n_spans"),
+            6,
+        ).alias("repeated_frac"),
     )
 
 
