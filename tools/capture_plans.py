@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from weather_bigquery_lakehouse_spark.session import build_session
 from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES
@@ -34,9 +34,16 @@ def main() -> None:
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            try:
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            except Exception:  # private helper moved — public-ish fallback
+                plan = df._jdf.queryExecution().explainString(
+                    df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
         except Exception as exc:  # noqa: BLE001 — record the failure, keep sweeping
             plan = f"PLAN CAPTURE FAILED: {type(exc).__name__}: {exc}\n"
         with open(path, "w") as f:

