@@ -279,3 +279,30 @@ def test_trained_codebook_lifts_recall_on_clustered_corpus(spark):
 
     cb_t = km.kmeans_pq_codebook(emb, dim=64, m=8, n_codes=16, n_iter=4)
     assert recall(cb_t) > recall(None)
+
+
+def test_update_unroll_cap_falls_back_identically_above_max_width(spark):
+    """Round-14 (ADVICE r13): a width above _UNROLL_MAX_WIDTH must take
+    the explode update path (the width-64 unrolled aggregate measured
+    slower) and still produce the identical trained codebook."""
+    import random
+
+    rng = random.Random(3)
+    wide = km._UNROLL_MAX_WIDTH + 4
+    rows = [
+        (0, i, [rng.uniform(-1, 1) for _ in range(wide)]) for i in range(24)
+    ]
+    subs = spark.createDataFrame(
+        rows, f"sub_id int, vec_id long, __sv array<double>"
+    )
+    got_dyn = km.train_grouped_codebook(
+        subs, n_codes=4, n_iter=2, group_col="sub_id", id_col="vec_id",
+        vec_col="__sv", width=None,
+    )
+    got_wide = km.train_grouped_codebook(
+        subs, n_codes=4, n_iter=2, group_col="sub_id", id_col="vec_id",
+        vec_col="__sv", width=wide,
+    )
+    a = sorted((r["sub_id"], r["code_id"], tuple(r["__cv"])) for r in got_dyn.collect())
+    b = sorted((r["sub_id"], r["code_id"], tuple(r["__cv"])) for r in got_wide.collect())
+    assert a == b

@@ -2130,3 +2130,67 @@ def test_synth_jpeg_media_roundtrip_exact_and_quarantine(spark):
 
     with pytest.raises(ValueError, match="subsampling"):
         mm.synth_jpeg_media(grid, subsampling="4:1:1")
+
+
+def test_shared_assignment_and_encode_match_default_paths(spark):
+    """Round-14 sharing parameters (ann_recall_report's one-assignment /
+    one-encode-per-codebook optimization): feeding a precomputed
+    assign_cells / pq_encode_cells intermediate must be BIT-IDENTICAL to
+    each scorer's default inline path — ivf_topk(corpus_cells=),
+    pq_topk(codes=), ivfpq_topk(codes=), pq_distortion(encoded=)."""
+    import random
+
+    rng = random.Random(7)
+    dim, m, n_codes, n_cells, k = 16, 4, 8, 4, 5
+    rows = []
+    for c in range(n_cells):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(10):
+            vid = c if j == 0 else n_cells + c * 9 + (j - 1)
+            rows.append((vid, [x + rng.uniform(-0.15, 0.15) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where(F.col("vec_id") < 3)
+
+    cent = df.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    cells = sim.assign_cells(
+        df.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cent,
+        id_col="neighbor_id",
+    ).localCheckpoint(eager=True)
+    cb = sim.pq_codebook_standin(df, dim=dim, m=m, n_codes=n_codes)
+    enc = sim.pq_encode_cells(cells, dim=dim, m=m, codebook=cb).localCheckpoint(
+        eager=True
+    )
+
+    def rows_of(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    base_ivf = sim.ivf_topk(df, probes, n_cells=n_cells, k=k, n_probe_cells=2)
+    shared_ivf = sim.ivf_topk(
+        df, probes, n_cells=n_cells, k=k, n_probe_cells=2, corpus_cells=cells
+    )
+    assert rows_of(base_ivf) == rows_of(shared_ivf)
+
+    base_pq = sim.pq_topk(df, probes, dim=dim, m=m, n_codes=n_codes, k=k)
+    shared_pq = sim.pq_topk(
+        df, probes, dim=dim, m=m, n_codes=n_codes, k=k, codebook=cb, codes=enc
+    )
+    assert rows_of(base_pq) == rows_of(shared_pq)
+
+    base_ivfpq = sim.ivfpq_topk(
+        df, probes, dim=dim, n_cells=n_cells, n_probe_cells=2, m=m,
+        n_codes=n_codes, k=k,
+    )
+    shared_ivfpq = sim.ivfpq_topk(
+        df, probes, dim=dim, n_cells=n_cells, n_probe_cells=2, m=m,
+        n_codes=n_codes, k=k, codebook=cb, codes=enc,
+    )
+    assert rows_of(base_ivfpq) == rows_of(shared_ivfpq)
+
+    base_dist = sim.pq_distortion(df, dim=dim, m=m, n_codes=n_codes)
+    shared_dist = sim.pq_distortion(
+        df, dim=dim, m=m, n_codes=n_codes, encoded=enc
+    )
+    assert rows_of(base_dist) == rows_of(shared_dist)

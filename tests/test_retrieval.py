@@ -269,3 +269,8 @@ def test_bm25_plan_broadcasts_queries_and_totals_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # queries (and lengths) term/doc joins
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row totals only
+    # round-14 pin: the broadcast query-term LEFT-SEMI prunes the postings
+    # BELOW the scoring projection, so the per-posting divide count is
+    # candidate-proportional in every query regime (selective user queries
+    # included), not just the dense-probe one
+    assert "LeftSemi" in plan, "query-term semi-join prune missing"
